@@ -1,0 +1,24 @@
+from .callbacks import (
+    Callback,
+    CheckpointCallback,
+    CSVLogger,
+    LearningRateScheduler,
+    LossPrintingCallback,
+    TensorBoardCallback,
+)
+from .checkpoint import Checkpointer
+from .trainer import Trainer, TrainState, make_loss_fn, make_train_step
+
+__all__ = [
+    "Trainer",
+    "TrainState",
+    "make_train_step",
+    "make_loss_fn",
+    "Checkpointer",
+    "Callback",
+    "LossPrintingCallback",
+    "CSVLogger",
+    "CheckpointCallback",
+    "TensorBoardCallback",
+    "LearningRateScheduler",
+]

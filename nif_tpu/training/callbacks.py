@@ -1,0 +1,139 @@
+"""Callbacks for the training loop.
+
+The reference leans on Keras callbacks for printing, LR scheduling,
+TensorBoard, and checkpoint saving (reference README.md:71-98). The
+equivalents here are plain objects with ``on_train_begin`` /
+``on_epoch_end`` / ``on_train_end`` hooks.
+"""
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Callable, Optional
+
+__all__ = [
+    "Callback",
+    "LossPrintingCallback",
+    "CSVLogger",
+    "CheckpointCallback",
+    "TensorBoardCallback",
+]
+
+
+class Callback:
+    def on_train_begin(self, trainer):
+        pass
+
+    def on_epoch_end(self, trainer, state, epoch: int, logs: dict):
+        pass
+
+    def on_train_end(self, trainer, state):
+        pass
+
+
+class LossPrintingCallback(Callback):
+    """Prints loss every ``every`` epochs (reference
+    LossAndErrorPrintingCallback, README.md:81-82)."""
+
+    def __init__(self, every: int = 100):
+        self.every = every
+        self._t0 = None
+
+    def on_train_begin(self, trainer):
+        self._t0 = time.perf_counter()
+
+    def on_epoch_end(self, trainer, state, epoch, logs):
+        if epoch % self.every == 0:
+            dt = time.perf_counter() - self._t0
+            print(f"[{dt:8.1f}s] epoch {epoch:6d}  loss {logs['loss']:.6e}")
+
+
+class CSVLogger(Callback):
+    def __init__(self, path: str):
+        self.path = path
+        self._writer = None
+        self._fh = None
+
+    def on_train_begin(self, trainer):
+        self._fh = open(self.path, "w", newline="")
+        self._writer = csv.writer(self._fh)
+        self._writer.writerow(["epoch", "loss", "time"])
+
+    def on_epoch_end(self, trainer, state, epoch, logs):
+        self._writer.writerow([epoch, logs["loss"], logs.get("time", "")])
+
+    def on_train_end(self, trainer, state):
+        if self._fh:
+            self._fh.close()
+
+
+class CheckpointCallback(Callback):
+    """Saves an orbax checkpoint every ``every`` epochs
+    (reference: ``model.save_weights("ckpt-{epoch}/ckpt")``, README.md:186)."""
+
+    def __init__(self, directory: str, every: int = 1000, keep: Optional[int] = None):
+        from .checkpoint import Checkpointer
+
+        self.ckpt = Checkpointer(directory, keep=keep)
+        self.every = every
+
+    def on_epoch_end(self, trainer, state, epoch, logs):
+        if epoch % self.every == 0:
+            self.ckpt.save(epoch, state.params)
+
+    def on_train_end(self, trainer, state):
+        self.ckpt.wait()
+
+
+class TensorBoardCallback(Callback):
+    """Writes scalars via ``jax.profiler``-independent summary files when
+    tensorboardX/tensorflow are available; otherwise degrades to CSV."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._writer = None
+
+    def on_train_begin(self, trainer):
+        os.makedirs(self.log_dir, exist_ok=True)
+        try:
+            from torch.utils.tensorboard import SummaryWriter  # torch is baked in
+
+            self._writer = SummaryWriter(self.log_dir)
+        except Exception:
+            self._writer = None
+            self._csv = CSVLogger(os.path.join(self.log_dir, "scalars.csv"))
+            self._csv.on_train_begin(trainer)
+
+    def on_epoch_end(self, trainer, state, epoch, logs):
+        if self._writer is not None:
+            self._writer.add_scalar("loss", logs["loss"], epoch)
+        else:
+            self._csv.on_epoch_end(trainer, state, epoch, logs)
+
+    def on_train_end(self, trainer, state):
+        if self._writer is not None:
+            self._writer.close()
+        else:
+            self._csv.on_train_end(trainer, state)
+
+
+class LearningRateScheduler(Callback):
+    """Epoch-wise LR control (reference README.md:84-90).
+
+    Works with optimizers built via ``optax.inject_hyperparams``; mutates the
+    ``learning_rate`` hyperparam in the optimizer state.
+    """
+
+    def __init__(self, schedule: Callable[[int, float], float]):
+        self.schedule = schedule
+
+    def on_epoch_end(self, trainer, state, epoch, logs):
+        try:
+            hp = state.opt_state.hyperparams
+        except AttributeError:
+            raise ValueError(
+                "LearningRateScheduler requires an optimizer wrapped in "
+                "optax.inject_hyperparams(optax.adam)(learning_rate=...)"
+            ) from None
+        hp["learning_rate"] = self.schedule(epoch, float(hp["learning_rate"]))

