@@ -15,7 +15,6 @@ returns the per-iteration loss curve like ``TFPLBFGS.history``.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -76,7 +75,12 @@ def lbfgs_minimize(
         )
         return params, losses, i
 
-    params, losses, n = run(params)
+    # L-BFGS curvature pairs and line searches are precision-sensitive: on
+    # TPU the default f32 matmul runs at reduced internal precision, which
+    # measurably stalls convergence. This is a fine-tuning path — accuracy
+    # beats speed — so trace under full f32 matmul precision.
+    with jax.default_matmul_precision("highest"):
+        params, losses, n = run(params)
     n = int(n)
     return params, np.asarray(losses)[:n]
 

@@ -1,3 +1,4 @@
 from .policy import Policy, get_policy
+from .precision import high_precision
 
-__all__ = ["Policy", "get_policy"]
+__all__ = ["Policy", "get_policy", "high_precision"]

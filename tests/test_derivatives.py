@@ -1,0 +1,103 @@
+"""Derivatives: analytic checks on known functions, and through a model."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nif_tpu import NIF
+from nif_tpu.config import ParameterNetConfig, ShapeNetConfig
+from nif_tpu.ops.derivatives import (
+    jacobian_regularization,
+    output_and_jacobian,
+    output_jacobian_hessian,
+    sobolev_loss,
+)
+
+
+def poly(inp):
+    # y0 = x0^2 * x1, y1 = sin(x1) — known jacobian/hessian.
+    x0, x1 = inp[:, 0], inp[:, 1]
+    return jnp.stack([x0**2 * x1, jnp.sin(x1)], axis=-1)
+
+
+def test_jacobian_analytic():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((7, 2)).astype(np.float32)
+    y, jac = output_and_jacobian(poly, x)
+    np.testing.assert_allclose(np.asarray(y), poly(x), rtol=1e-6)
+    expected = np.zeros((7, 2, 2), np.float32)
+    expected[:, 0, 0] = 2 * x[:, 0] * x[:, 1]
+    expected[:, 0, 1] = x[:, 0] ** 2
+    expected[:, 1, 1] = np.cos(x[:, 1])
+    np.testing.assert_allclose(np.asarray(jac), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_jacobian_index_selection():
+    x = np.random.default_rng(1).standard_normal((5, 2)).astype(np.float32)
+    _, jac = output_and_jacobian(poly, x, y_index=[0], x_index=[1])
+    assert jac.shape == (5, 1, 1)
+    np.testing.assert_allclose(
+        np.asarray(jac)[:, 0, 0], x[:, 0] ** 2, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_hessian_analytic():
+    x = np.random.default_rng(2).standard_normal((4, 2)).astype(np.float32)
+    y, jac, hess = output_jacobian_hessian(poly, x)
+    assert hess.shape == (4, 2, 2, 2)
+    # d2 y0 / dx0 dx0 = 2*x1 ; d2 y0 / dx0 dx1 = 2*x0 ; d2 y1/dx1^2 = -sin(x1)
+    np.testing.assert_allclose(np.asarray(hess)[:, 0, 0, 0], 2 * x[:, 1], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hess)[:, 0, 0, 1], 2 * x[:, 0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(hess)[:, 1, 1, 1], -np.sin(x[:, 1]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_jacreg_and_through_model():
+    cfg_s = ShapeNetConfig(input_dim=1, output_dim=1, units=8, nlayers=1,
+                           activation="tanh")
+    cfg_p = ParameterNetConfig(input_dim=1, latent_dim=2, units=8, nlayers=1,
+                               activation="tanh")
+    model = NIF(cfg_s, cfg_p)
+    params = model.init(jax.random.key(0))
+    inputs = jnp.asarray(
+        np.random.default_rng(3).standard_normal((6, 2)).astype(np.float32)
+    )
+    fn = lambda inp: model.apply(params, inp)
+    y, jac = output_and_jacobian(fn, inputs)
+    assert y.shape == (6, 1) and jac.shape == (6, 1, 2)
+    reg = jacobian_regularization(fn, inputs, l1=0.1)
+    assert np.isfinite(float(reg)) and float(reg) >= 0
+    # jacreg must be differentiable w.r.t. params (it feeds the loss).
+    def loss(p):
+        f = lambda inp: model.apply(p, inp)
+        return jacobian_regularization(f, inputs, l1=0.1)
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_sobolev_loss_terms():
+    x = np.random.default_rng(4).standard_normal((8, 2)).astype(np.float32)
+    y_true = poly(x)
+    _, jac_true = output_and_jacobian(poly, x)
+    total, terms = sobolev_loss(poly, x, y_true, target_jac=jac_true)
+    assert float(terms["value_mse"]) < 1e-10
+    assert float(terms["jacobian_mse"]) < 1e-10
+    assert float(total) < 1e-9
+    # Wrong jacobian target -> nonzero jac term.
+    total2, terms2 = sobolev_loss(poly, x, y_true, target_jac=jac_true + 1.0)
+    assert float(terms2["jacobian_mse"]) > 0.5
+
+
+def test_jac_reg_model_config_path():
+    """jac_reg in the pnet config flows through regularization_loss."""
+    cfg_s = ShapeNetConfig(input_dim=1, output_dim=1, units=6, nlayers=1,
+                           activation="tanh")
+    cfg_p = ParameterNetConfig(input_dim=1, latent_dim=2, units=6, nlayers=1,
+                               activation="tanh", jac_reg=0.05)
+    model = NIF(cfg_s, cfg_p)
+    params = model.init(jax.random.key(1))
+    inputs = jnp.asarray(
+        np.random.default_rng(5).standard_normal((4, 2)).astype(np.float32)
+    )
+    reg = model.regularization_loss(params, inputs)
+    assert float(reg) > 0
