@@ -1,0 +1,12 @@
+from .pruning import MagnitudePruning, apply_mask, prune_by_magnitude, sparsity
+from .quantization import dequantize_params, quantize_params, quantized_size_bytes
+
+__all__ = [
+    "prune_by_magnitude",
+    "apply_mask",
+    "sparsity",
+    "MagnitudePruning",
+    "quantize_params",
+    "dequantize_params",
+    "quantized_size_bytes",
+]

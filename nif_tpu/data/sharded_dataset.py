@@ -1,0 +1,199 @@
+"""Sharded streaming dataset for 100s-of-GB point clouds.
+
+Replaces the reference's columnar-tfrecord trick (reference
+nif/data/tfr_dataset.py): the reference packs one giant ``tf.train.Example``
+per shard file because per-point serialization was unacceptably slow
+(tutorial 5 cell 22 reports "tens of GB in 30-60 min"). Here shards are
+plain ``.npy`` files — zero serialization overhead, memory-mapped reads —
+and the shuffle-gather hot loop is dispatched to a multithreaded C++
+kernel (:mod:`nif_tpu.data.nifio`) when available, with a numpy fallback.
+
+Fixes reference wart (SURVEY.md section 7.9): the reference loses the
+global epoch counter because it calls ``model.fit`` once per file;
+``iter_batches`` here does global epoch accounting across shards.
+
+Multi-host sharding: pass ``(host_id, num_hosts)`` to stripe shard files
+across data-loading hosts.
+"""
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .nifio import gather_rows, permute_rows
+
+__all__ = ["ShardedDataset"]
+
+
+class ShardedDataset:
+    """Point-cloud dataset sharded into .npy files.
+
+    Layout: ``<dir>/<prefix>_<i>.npy`` each of shape ``[n_pts, n_cols]``
+    (float32), plus ``<dir>/meta.json`` with the column split.
+    Rows are ``[features..., targets..., (weight)]`` — identical to the
+    reference's column convention (nif/data/tfr_dataset.py:36-42).
+    """
+
+    def __init__(self, n_feature: int, n_target: int, area_weight: bool = False):
+        self.n_feature = n_feature
+        self.n_target = n_target
+        self.area_weight = area_weight
+        self.path: Optional[str] = None
+        self.files: Sequence[str] = ()
+
+    # ------------------------------------------------------------- creation
+    def create_from_npz(
+        self,
+        num_pts_per_file: int,
+        npz_path: str,
+        npz_key: str,
+        out_path: str,
+        prefix: str = "shard",
+        shuffle: bool = True,
+        seed: int = 0,
+        verbose: bool = False,
+    ) -> None:
+        """Shuffle a big npz and chop it into .npy shard files.
+
+        API-parity with ``TFRDataset.create_from_npz`` (reference
+        nif/data/tfr_dataset.py:22-83), minus the serialization cost: the
+        global permutation is applied with the multithreaded gather and
+        shards are written with raw ``tofile``.
+        """
+        num_pts_per_file = int(num_pts_per_file)
+        data = np.load(npz_path, mmap_mode="r")[npz_key]
+        n_total, n_col = data.shape
+        expected = self.n_feature + self.n_target + (1 if self.area_weight else 0)
+        if n_col != expected:
+            raise ValueError(f"expected {expected} columns, npz has {n_col}")
+
+        os.makedirs(out_path, exist_ok=True)
+        n_files = int(np.ceil(n_total / num_pts_per_file))
+        perm = None
+        if shuffle:
+            perm = np.random.default_rng(seed).permutation(n_total)
+        for i in range(n_files):
+            i0, i1 = i * num_pts_per_file, min((i + 1) * num_pts_per_file, n_total)
+            if perm is not None:
+                chunk = gather_rows(data, perm[i0:i1])
+            else:
+                chunk = np.asarray(data[i0:i1], dtype=np.float32)
+            np.save(os.path.join(out_path, f"{prefix}_{i}.npy"), chunk.astype(np.float32))
+            if verbose:
+                print(f"wrote shard {i + 1}/{n_files} ({i1 - i0} pts)")
+        with open(os.path.join(out_path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "n_feature": self.n_feature,
+                    "n_target": self.n_target,
+                    "area_weight": self.area_weight,
+                    "num_pts_per_file": num_pts_per_file,
+                    "n_total": int(n_total),
+                    "n_files": n_files,
+                    "prefix": prefix,
+                },
+                f,
+            )
+
+    # -------------------------------------------------------------- loading
+    def open(self, path: str, host_id: int = 0, num_hosts: int = 1) -> "ShardedDataset":
+        """Point at a shard directory; stripes files across hosts."""
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        if (meta["n_feature"], meta["n_target"]) != (self.n_feature, self.n_target):
+            raise ValueError(
+                f"meta.json column split {meta['n_feature']}/{meta['n_target']} "
+                f"does not match dataset ({self.n_feature}/{self.n_target})"
+            )
+        files = sorted(
+            (
+                os.path.join(path, fn)
+                for fn in os.listdir(path)
+                if fn.endswith(".npy")
+            ),
+            key=lambda p: int(os.path.basename(p).rsplit("_", 1)[1][:-4]),
+        )
+        self.path = path
+        self.files = files[host_id::num_hosts]
+        self.meta = meta
+        return self
+
+    @classmethod
+    def from_dir(cls, path: str, host_id: int = 0, num_hosts: int = 1):
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        ds = cls(meta["n_feature"], meta["n_target"], meta["area_weight"])
+        return ds.open(path, host_id, num_hosts)
+
+    def _split(self, arr: np.ndarray):
+        nf, nt = self.n_feature, self.n_target
+        feats = arr[:, :nf]
+        targets = arr[:, nf : nf + nt]
+        weight = arr[:, -1] if self.area_weight else None
+        return feats, targets, weight
+
+    def iter_batches(
+        self,
+        batch_size: int,
+        epochs: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = True,
+        prefetch: int = 2,
+    ) -> Iterator[Tuple[int, np.ndarray, np.ndarray, Optional[np.ndarray]]]:
+        """Yield ``(epoch, features, targets, weight)`` batches.
+
+        Global epoch accounting: ``epoch`` increments once per full pass
+        over ALL shards (not per shard — the reference wart). Shard order
+        and intra-shard order reshuffle every epoch. A background thread
+        prefetches and shuffles the next shard while the current one is
+        being consumed.
+        """
+        if not self.files:
+            raise ValueError("no shards opened; call .open(path) first")
+        rng = np.random.default_rng(seed)
+
+        def produce(q: "queue.Queue"):
+            try:
+                for epoch in range(epochs):
+                    order = (
+                        rng.permutation(len(self.files))
+                        if shuffle
+                        else np.arange(len(self.files))
+                    )
+                    for fi in order:
+                        arr = np.load(self.files[fi], mmap_mode="r")
+                        if shuffle:
+                            chunk = permute_rows(
+                                arr, int(rng.integers(0, 2**31 - 1))
+                            )
+                        else:
+                            chunk = np.asarray(arr)
+                        q.put((epoch, chunk))
+            finally:
+                q.put(None)
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            epoch, chunk = item
+            n = chunk.shape[0]
+            end = n - batch_size + 1 if drop_remainder else n
+            for s in range(0, max(end, 0), batch_size):
+                feats, targets, weight = self._split(chunk[s : s + batch_size])
+                yield epoch, feats, targets, weight
+
+    @property
+    def num_points(self) -> int:
+        return int(self.meta["n_total"]) if hasattr(self, "meta") else sum(
+            np.load(f, mmap_mode="r").shape[0] for f in self.files
+        )

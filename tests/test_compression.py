@@ -1,0 +1,88 @@
+"""Pruning and quantization."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nif_tpu import NIF
+from nif_tpu.compression import (
+    MagnitudePruning,
+    apply_mask,
+    dequantize_params,
+    prune_by_magnitude,
+    quantize_params,
+    quantized_size_bytes,
+    sparsity,
+)
+from nif_tpu.config import ParameterNetConfig, ShapeNetConfig
+
+CFG_S = ShapeNetConfig(input_dim=1, output_dim=1, units=16, nlayers=2,
+                       activation="tanh")
+CFG_P = ParameterNetConfig(input_dim=1, latent_dim=2, units=16, nlayers=2,
+                           activation="tanh")
+
+
+def test_prune_by_magnitude():
+    model = NIF(CFG_S, CFG_P)
+    params = model.init(jax.random.key(0))
+    mask = prune_by_magnitude(params, 0.5)
+    pruned = apply_mask(params, mask)
+    s = sparsity(pruned)
+    assert 0.45 < s < 0.55
+    # biases untouched
+    assert float(jnp.sum(pruned["pnet"]["first"]["b"] == 0)) <= 1
+
+
+def test_pruned_model_still_runs():
+    model = NIF(CFG_S, CFG_P)
+    params = model.init(jax.random.key(0))
+    pruned = apply_mask(params, prune_by_magnitude(params, 0.8))
+    inputs = np.random.default_rng(0).standard_normal((5, 2)).astype(np.float32)
+    u = model.apply(pruned, inputs)
+    assert np.all(np.isfinite(np.asarray(u)))
+
+
+def test_gradual_pruning_during_training():
+    model = NIF(CFG_S, CFG_P)
+    params = model.init(jax.random.key(0))
+    tx = MagnitudePruning(optax.adam(1e-3), final_sparsity=0.5,
+                          begin_step=0, end_step=20)
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(1)
+    inputs = jnp.asarray(rng.standard_normal((64, 2)), jnp.float32)
+    targets = jnp.zeros((64, 1))
+
+    @jax.jit
+    def step(params, opt_state):
+        g = jax.grad(lambda p: jnp.mean((model.apply(p, inputs) - targets) ** 2))(params)
+        upd, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state
+
+    for _ in range(30):
+        params, opt_state = step(params, opt_state)
+    s = sparsity(params)
+    assert s >= 0.45, f"sparsity only {s}"
+
+
+def test_quantize_roundtrip():
+    model = NIF(CFG_S, CFG_P)
+    params = model.init(jax.random.key(0))
+    qp = quantize_params(params)
+    dq = dequantize_params(qp)
+    # error bounded by scale/2 per entry
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(dq)):
+        if a.ndim >= 2:
+            err = float(jnp.max(jnp.abs(a - b)))
+            scale = float(jnp.max(jnp.abs(a))) / 127.0
+            assert err <= scale * 0.51 + 1e-9
+    qb, fb = quantized_size_bytes(qp)
+    assert qb < fb * 0.5  # kernels ~4x smaller; biases stay f32
+
+
+def test_quantized_model_accuracy():
+    model = NIF(CFG_S, CFG_P)
+    params = model.init(jax.random.key(0))
+    inputs = np.random.default_rng(2).standard_normal((32, 2)).astype(np.float32)
+    u_full = np.asarray(model.apply(params, inputs))
+    u_q = np.asarray(model.apply(dequantize_params(quantize_params(params)), inputs))
+    assert np.max(np.abs(u_full - u_q)) < 0.1 * (np.max(np.abs(u_full)) + 1e-6) + 0.05

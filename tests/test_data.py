@@ -1,0 +1,161 @@
+"""Data layer: normalization parity, grouped re-layout, sharded streaming,
+native gather kernels."""
+import numpy as np
+import pytest
+
+from nif_tpu.data import PointWiseData
+from nif_tpu.data.nifio import f32_to_bf16, gather_rows, native_available, permute_rows
+from nif_tpu.data.sharded_dataset import ShardedDataset
+from nif_tpu.demo import CylinderFlow, TravelingWave, TravelingWaveHighFreq
+
+
+class TestNormalization:
+    def test_standard_normalize(self):
+        rng = np.random.default_rng(0)
+        raw = rng.normal(3.0, 2.0, (500, 4))
+        norm, mean, std = PointWiseData.standard_normalize(raw)
+        np.testing.assert_allclose(norm.mean(0), 0, atol=1e-12)
+        np.testing.assert_allclose(norm.std(0), 1, atol=1e-12)
+        np.testing.assert_allclose(norm * std + mean, raw, rtol=1e-12)
+
+    def test_standard_normalize_area_weighted(self):
+        rng = np.random.default_rng(1)
+        raw = rng.normal(1.0, 0.5, (100, 5))
+        raw[:, -1] = np.abs(raw[:, -1]) + 0.1  # cell areas
+        norm, mean, std, w = PointWiseData.standard_normalize(raw, area_weighted=True)
+        assert norm.shape == (100, 4)
+        # weights = area / mean(area) (reference semantics)
+        np.testing.assert_allclose(w, raw[:, -1] / raw[:, -1].mean(), rtol=1e-12)
+        np.testing.assert_allclose(w.mean(), 1.0, rtol=1e-12)
+
+    def test_minmax_normalize(self):
+        rng = np.random.default_rng(2)
+        raw = rng.uniform(-3, 7, (200, 3))
+        norm, mean, std = PointWiseData.minmax_normalize(raw, n_para=1, n_x=1, n_target=1)
+        # inputs in [-1, 1]
+        assert norm[:, :2].min() >= -1 - 1e-9 and norm[:, :2].max() <= 1 + 1e-9
+        np.testing.assert_allclose(abs(norm[:, :2]).max(axis=0), 1.0, rtol=1e-9)
+        # target scaled by max |u|
+        assert abs(norm[:, 2]).max() <= 1 + 1e-9
+
+    def test_accessors(self):
+        tw = TravelingWave()
+        assert tw.parameter.shape == (2000, 1)
+        assert tw.x.shape == (2000, 1)
+        assert tw.u.shape == (2000, 1)
+        assert tw.data.shape == (2000, 3)
+
+    def test_denormalize_roundtrip(self):
+        tw = TravelingWaveHighFreq()
+        u_rec = tw.denormalize_u(tw.u)
+        np.testing.assert_allclose(u_rec, tw.data_raw[:, 2:3], rtol=1e-5, atol=1e-6)
+
+    def test_cylinder_flow_weighted(self):
+        cf = CylinderFlow()
+        assert cf.sample_weight is not None
+        np.testing.assert_allclose(cf.sample_weight.mean(), 1.0, rtol=1e-5)
+        assert cf.data.shape[1] == 1 + 2 + 2  # t, (x,y), (u,v); area split off
+
+
+class TestGrouped:
+    def test_as_grouped_roundtrip(self):
+        tw = TravelingWave(n_t=10, n_x=50)
+        t, x, u = tw.as_grouped()
+        assert t.shape == (10, 1) and x.shape == (10, 50, 1) and u.shape == (10, 50, 1)
+        # flatten back and compare as sets of rows
+        flat = np.concatenate(
+            [np.repeat(t, 50, 0), x.reshape(-1, 1), u.reshape(-1, 1)], axis=1
+        )
+        orig = np.asarray(tw.data)
+        assert flat.shape == orig.shape
+        def canon(a):
+            a = np.ascontiguousarray(a, dtype=np.float64)
+            return a[np.lexsort(a.T[::-1])]
+        np.testing.assert_allclose(canon(flat), canon(orig))
+
+
+class TestNifio:
+    def test_gather_rows(self):
+        rng = np.random.default_rng(0)
+        src = rng.standard_normal((1000, 7)).astype(np.float32)
+        idx = rng.integers(0, 1000, size=300)
+        np.testing.assert_array_equal(gather_rows(src, idx), src[idx])
+
+    def test_permute_rows_is_permutation(self):
+        rng = np.random.default_rng(1)
+        src = rng.standard_normal((512, 3)).astype(np.float32)
+        out = permute_rows(src, seed=42)
+        assert out.shape == src.shape
+        # same multiset of rows, different order (overwhelmingly likely)
+        key = lambda a: np.sort(a.view([(f"c{i}", "f4") for i in range(a.shape[1])]), axis=0).view(np.float32)
+        np.testing.assert_array_equal(key(out), key(src))
+        assert not np.array_equal(out, src)
+
+    def test_f32_to_bf16_round_nearest_even(self):
+        x = np.array([1.0, -2.5, 3.14159, 65504.0, 1e-8], dtype=np.float32)
+        got = f32_to_bf16(x)
+        import jax.numpy as jnp
+
+        expected = np.asarray(jnp.asarray(x, jnp.bfloat16)).view(np.uint16)
+        np.testing.assert_array_equal(got, expected)
+
+    def test_native_lib_builds(self):
+        # g++ is baked into the image — the native path should be live.
+        assert native_available()
+
+
+class TestShardedDataset:
+    def _make_npz(self, tmp_path, n=1000, cols=3):
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((n, cols)).astype(np.float32)
+        p = str(tmp_path / "data.npz")
+        np.savez(p, data=data)
+        return p, data
+
+    def test_create_and_stream(self, tmp_path):
+        npz, data = self._make_npz(tmp_path)
+        ds = ShardedDataset(n_feature=2, n_target=1)
+        ds.create_from_npz(300, npz, "data", str(tmp_path / "shards"))
+        ds2 = ShardedDataset.from_dir(str(tmp_path / "shards"))
+        assert len(ds2.files) == 4  # ceil(1000/300)
+        assert ds2.num_points == 1000
+        seen = 0
+        epochs_seen = set()
+        for epoch, feats, targets, weight in ds2.iter_batches(
+            batch_size=100, epochs=2, seed=1
+        ):
+            assert feats.shape == (100, 2) and targets.shape == (100, 1)
+            assert weight is None
+            epochs_seen.add(epoch)
+            seen += feats.shape[0]
+        # 2 epochs x (3 full shards of 300 -> 900 pts in 9 batches + 100-pt
+        # shard -> 1 batch) = 2000 points
+        assert seen == 2000
+        assert epochs_seen == {0, 1}  # global epoch counter, not per-file
+
+    def test_shards_cover_all_points(self, tmp_path):
+        npz, data = self._make_npz(tmp_path, n=500)
+        ds = ShardedDataset(n_feature=2, n_target=1)
+        ds.create_from_npz(200, npz, "data", str(tmp_path / "s2"))
+        ds2 = ShardedDataset.from_dir(str(tmp_path / "s2"))
+        all_rows = np.concatenate([np.load(f) for f in ds2.files])
+        assert all_rows.shape == data.shape
+        key = lambda a: np.sort(a.view([(f"c{i}", "f4") for i in range(a.shape[1])]), axis=0).view(np.float32)
+        np.testing.assert_array_equal(key(all_rows), key(data))
+
+    def test_area_weighted_stream(self, tmp_path):
+        npz, data = self._make_npz(tmp_path, cols=4)
+        ds = ShardedDataset(n_feature=2, n_target=1, area_weight=True)
+        ds.create_from_npz(250, npz, "data", str(tmp_path / "s3"))
+        ds2 = ShardedDataset.from_dir(str(tmp_path / "s3"))
+        _, feats, targets, weight = next(iter(ds2.iter_batches(batch_size=50)))
+        assert weight is not None and weight.shape == (50,)
+
+    def test_host_striping(self, tmp_path):
+        npz, _ = self._make_npz(tmp_path)
+        ds = ShardedDataset(n_feature=2, n_target=1)
+        ds.create_from_npz(250, npz, "data", str(tmp_path / "s4"))
+        a = ShardedDataset.from_dir(str(tmp_path / "s4"), host_id=0, num_hosts=2)
+        b = ShardedDataset.from_dir(str(tmp_path / "s4"), host_id=1, num_hosts=2)
+        assert len(a.files) + len(b.files) == 4
+        assert set(a.files).isdisjoint(b.files)

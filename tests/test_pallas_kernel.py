@@ -1,0 +1,101 @@
+"""Fused Pallas ShapeNet kernel vs the XLA reference path (interpret mode
+on CPU; the compiled path is exercised on TPU by bench.py / verify runs)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nif_tpu.config import ShapeNetConfig, shapenet_param_count
+from nif_tpu.ops.pallas_shapenet import fused_supported, shapenet_grouped_fused
+from nif_tpu.ops.shapenet import shapenet_grouped
+
+CASES = [
+    ("siren", ShapeNetConfig(3, 1, 128, 2, "sine", False, 30.0)),
+    ("siren", ShapeNetConfig(2, 2, 64, 1, "sine", True, 10.0)),
+    ("siren", ShapeNetConfig(1, 1, 16, 3, "sine", False, 5.0)),
+    ("vanilla", ShapeNetConfig(2, 3, 32, 2, "swish")),
+    ("vanilla", ShapeNetConfig(1, 1, 16, 1, "tanh")),
+    ("vanilla", ShapeNetConfig(2, 1, 64, 2, "relu")),
+]
+
+
+def _data(cfg, G=3, P=256, seed=0):
+    rng = np.random.default_rng(seed)
+    po = shapenet_param_count(cfg, 0)
+    # SIREN-regime weight scale: keeps omega*z bounded so f32 association
+    # differences don't get chaotically amplified by sin.
+    wb = jnp.asarray(rng.standard_normal((G, po)) * (0.3 / cfg.omega_0), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((G, P, cfg.input_dim)), jnp.float32)
+    return wb, x
+
+
+@pytest.mark.parametrize("variant,cfg", CASES)
+def test_forward_matches_xla(variant, cfg):
+    wb, x = _data(cfg)
+    ref = shapenet_grouped(wb, x, cfg, variant)
+    out = shapenet_grouped_fused(wb, x, cfg, variant, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("variant,cfg", CASES)
+def test_gradients_match_xla(variant, cfg):
+    wb, x = _data(cfg, seed=1)
+    g = jnp.asarray(
+        np.random.default_rng(2).standard_normal((3, 256, cfg.output_dim)) * 0.1,
+        jnp.float32,
+    )
+    _, vjp_ref = jax.vjp(lambda wb, x: shapenet_grouped(wb, x, cfg, variant), wb, x)
+    dwb_r, dx_r = vjp_ref(g)
+    _, vjp_f = jax.vjp(
+        lambda wb, x: shapenet_grouped_fused(wb, x, cfg, variant, True), wb, x
+    )
+    dwb_f, dx_f = vjp_f(g)
+    scale_wb = float(jnp.max(jnp.abs(dwb_r))) + 1e-9
+    scale_x = float(jnp.max(jnp.abs(dx_r))) + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(dwb_f) / scale_wb, np.asarray(dwb_r) / scale_wb, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dx_f) / scale_x, np.asarray(dx_r) / scale_x, atol=5e-5
+    )
+
+
+def test_unsupported_falls_back():
+    cfg = ShapeNetConfig(
+        1, 1, 4, 1, "sine", connectivity="last_layer"
+    )
+    assert not fused_supported(cfg, "siren", 256)
+    # Odd P with no valid tile
+    cfg2 = ShapeNetConfig(1, 1, 16, 1, "sine")
+    assert not fused_supported(cfg2, "siren", 257)
+    # Fallback still computes (via XLA path)
+    wb, x = _data(ShapeNetConfig(1, 1, 16, 1, "sine"), P=257)
+    out = shapenet_grouped_fused(wb, x, ShapeNetConfig(1, 1, 16, 1, "sine"), "siren", True)
+    assert out.shape == (3, 257, 1)
+
+
+def test_model_fused_flag_matches_xla():
+    """apply_grouped(fused=True interpret) vs fused=False through a model."""
+    from nif_tpu import NIFMultiScale
+
+    cfg_s = {
+        "input_dim": 2, "output_dim": 1, "units": 32, "nlayers": 2,
+        "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+        "connectivity": "full", "weight_init_factor": 0.01,
+    }
+    cfg_p = {"input_dim": 1, "latent_dim": 4, "units": 16, "nlayers": 1,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0}
+    model = NIFMultiScale(cfg_s, cfg_p)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(rng.standard_normal((2, 1)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 128, 2)), jnp.float32)
+    # On CPU the interpreter handles the fused path.
+    u_xla = model.apply_grouped(params, t, x, fused=False)
+    wb = model.p_to_w(params, t)
+    u_fused = shapenet_grouped_fused(wb, x, model.cfg_shape_net, "siren", True)
+    np.testing.assert_allclose(
+        np.asarray(u_fused), np.asarray(u_xla), rtol=2e-4, atol=1e-5
+    )
