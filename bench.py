@@ -1,16 +1,22 @@
-"""Headline benchmark: coordinate points/sec/chip (fwd+bwd) through the
-ShapeNet eval, on the flagship NIFMultiScale model.
+"""Headline benchmark: coordinate points/sec/chip (fwd+bwd+update) through
+the ShapeNet eval, on the flagship NIFMultiScale model.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-``value``      — points/sec/chip for a full jitted train step (forward +
-                 backward + adam update) in the grouped TPU-first layout.
-``vs_baseline`` — speedup over the reference-style point-wise layout (the
-                 reference recomputes the generated weight vector for every
-                 coordinate point; see SURVEY.md section 3.1), measured on
-                 the same chip with the same model. The reference publishes
-                 no absolute numbers (BASELINE.md), so its own algorithmic
-                 layout is the baseline.
+``value``       — points/sec/chip for a full training step (forward +
+                  backward + adam) in the grouped TPU-first layout with the
+                  fused Pallas ShapeNet kernel.
+``vs_baseline`` — speedup over the reference's algorithmic layout (point-
+                  wise: the generated weight vector is recomputed and
+                  materialized per coordinate point, as in the reference's
+                  EinsumLayer formulation — SURVEY.md section 3.1), measured
+                  on the same chip. The reference publishes no absolute
+                  numbers (BASELINE.md), so its own layout is the baseline.
+
+Timing methodology: steps are chained inside a single jitted ``lax.scan``
+(state carried step to step) and the final loss is read back to the host,
+so the measurement cannot be faked by async dispatch. Steady-state time is
+(T(N2) - T(N1)) / (N2 - N1) to cancel dispatch/transfer overhead.
 """
 from __future__ import annotations
 
@@ -50,15 +56,26 @@ def make_model():
     return nif_tpu.NIFMultiScale(cfg_s, cfg_p, mixed_policy="mixed_bfloat16")
 
 
-def time_steps(step, args, warmup=3, iters=10):
-    for _ in range(warmup):
-        out = step(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def steady_state_time(step_fn, state0, n1=10, n2=40):
+    """Per-step time via scan-chained steps with forced readback."""
+
+    def run_n(n):
+        @jax.jit
+        def run(state):
+            def body(c, _):
+                c, loss = step_fn(c)
+                return c, loss
+
+            c, losses = jax.lax.scan(body, state, None, length=n)
+            return losses[-1]
+
+        _ = float(run(state0))  # compile + warm
+        t0 = time.perf_counter()
+        _ = float(run(state0))  # timed, synced by the scalar readback
+        return time.perf_counter() - t0
+
+    d1, d2 = run_n(n1), run_n(n2)
+    return max((d2 - d1) / (n2 - n1), 1e-9)
 
 
 def main():
@@ -68,41 +85,41 @@ def main():
     opt_state = tx.init(params)
     rng = np.random.default_rng(0)
 
-    # ---------------- grouped layout (TPU-first fast path) ----------------
+    # ---------------- grouped layout + fused kernel (TPU-first path) -------
     G, P = 32, 8192  # 262,144 points per step
     t = jnp.asarray(rng.standard_normal((G, 4)), jnp.float32)
     x = jnp.asarray(rng.standard_normal((G, P, 3)), jnp.float32)
     u = jnp.asarray(rng.standard_normal((G, P, 1)), jnp.float32)
 
-    def loss_grouped(params, t, x, u):
+    def loss_grouped(params):
         pred = model.apply_grouped(params, t, x)
         return jnp.mean(jnp.square(pred - u))
 
-    @jax.jit
-    def step_grouped(params, opt_state, t, x, u):
-        loss, grads = jax.value_and_grad(loss_grouped)(params, t, x, u)
+    def step_grouped(state):
+        params, opt_state = state
+        loss, grads = jax.value_and_grad(loss_grouped)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
 
-    dt_grouped = time_steps(step_grouped, (params, opt_state, t, x, u))
+    dt_grouped = steady_state_time(step_grouped, (params, opt_state))
     pps_grouped = G * P / dt_grouped
 
-    # ------------- point-wise layout (reference algorithmic baseline) -----
+    # ------------- point-wise layout (reference algorithmic baseline) ------
     B = 8192  # wb materializes [B, po_dim]; keep memory bounded
     inp = jnp.asarray(rng.standard_normal((B, 7)), jnp.float32)
     tgt = jnp.asarray(rng.standard_normal((B, 1)), jnp.float32)
 
-    def loss_pw(params, inp, tgt):
+    def loss_pw(params):
         pred = model.apply(params, inp)
         return jnp.mean(jnp.square(pred - tgt))
 
-    @jax.jit
-    def step_pw(params, opt_state, inp, tgt):
-        loss, grads = jax.value_and_grad(loss_pw)(params, inp, tgt)
+    def step_pw(state):
+        params, opt_state = state
+        loss, grads = jax.value_and_grad(loss_pw)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
 
-    dt_pw = time_steps(step_pw, (params, opt_state, inp, tgt))
+    dt_pw = steady_state_time(step_pw, (params, opt_state), n1=5, n2=20)
     pps_pw = B / dt_pw
 
     print(

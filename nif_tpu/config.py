@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import Any, Dict, Optional, Tuple
 
 __all__ = [
@@ -163,6 +164,8 @@ class NIFConfig:
         )
 
     def save(self, filename: str = "config.json") -> None:
+        parent = os.path.dirname(os.path.abspath(filename))
+        os.makedirs(parent, exist_ok=True)
         with open(filename, "w") as f:
             json.dump(self.to_dict(), f, indent=4)
 

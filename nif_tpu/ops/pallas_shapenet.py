@@ -40,6 +40,48 @@ __all__ = ["shapenet_grouped_fused", "fused_supported"]
 
 
 # --------------------------------------------------------------------------
+# Fast polynomial sine for bf16 compute.
+#
+# The VPU's exact f32 sine costs ~25 ops/element and dominates the kernel
+# (measured: 2.4 ms of a 2.9 ms forward at G=32, P=8192, n=128). Activations
+# are cast to bf16 between layers anyway (eps ~ 3.9e-3), so a degree-9 odd
+# minimax polynomial on the range-reduced argument (max error 1.7e-5 — two
+# orders below bf16 rounding) is a free 3-4x kernel speedup. The backward
+# pass uses the TRUE derivative of the forward polynomial, so gradients are
+# exact for the function actually computed.
+# --------------------------------------------------------------------------
+_INV2PI = float(1.0 / (2.0 * np.pi))
+# sin(2*pi*t) ~ t*(c1 + c3 t^2 + c5 t^4 + c7 t^6 + c9 t^8), t in [-0.5, 0.5]
+_SIN_C = (6.28308846, -41.33324754, 81.40008977, -74.67588387, 33.16809461)
+
+
+def _fast_sin(y):
+    t = y * _INV2PI
+    t = t - jnp.round(t)
+    s = t * t
+    c1, c3, c5, c7, c9 = _SIN_C
+    return t * (c1 + s * (c3 + s * (c5 + s * (c7 + s * c9))))
+
+
+def _fast_sin_grad(y):
+    """d/dy of _fast_sin — the exact gradient of the forward polynomial."""
+    t = y * _INV2PI
+    t = t - jnp.round(t)
+    s = t * t
+    c1, c3, c5, c7, c9 = _SIN_C
+    return (
+        c1 + s * (3 * c3 + s * (5 * c5 + s * (7 * c7 + s * (9 * c9))))
+    ) * _INV2PI
+
+
+def _trig_for(dtype):
+    """(sin, dsin/dy) — polynomial for bf16 compute, exact for f32."""
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        return _fast_sin, _fast_sin_grad
+    return jnp.sin, jnp.cos
+
+
+# --------------------------------------------------------------------------
 # Activation / derivative pairs (derivative expressed in terms of z).
 # --------------------------------------------------------------------------
 def _act_pair(name: str) -> Tuple[Callable, Callable]:
@@ -96,6 +138,34 @@ def _matmul(a, b):
     )
 
 
+def _first_matmul(x, w0):
+    """First-layer matmul: K = si is tiny (1-3 coords), so an MXU pass pads
+    K to 128 and wastes a full systolic pass; a VPU broadcast-fma chain is
+    cheaper. Falls back to the MXU for wider inputs."""
+    si = x.shape[-1]
+    if si > 4:
+        return _matmul(x, w0)
+    z = x[:, 0:1].astype(jnp.float32) * w0[0:1, :].astype(jnp.float32)
+    for i in range(1, si):
+        z = z + x[:, i : i + 1].astype(jnp.float32) * w0[i : i + 1, :].astype(
+            jnp.float32
+        )
+    return z
+
+
+def _last_matmul(u, wl):
+    """Last-layer matmul: N = so is tiny (often 1), so the MXU pads N to
+    128; a VPU multiply + lane reduction is cheaper for so == 1."""
+    so = wl.shape[-1]
+    if so != 1:
+        return _matmul(u, wl)
+    return jnp.sum(
+        u.astype(jnp.float32) * wl[:, 0].astype(jnp.float32)[None, :],
+        axis=1,
+        keepdims=True,
+    )
+
+
 def _forward_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str, save: bool):
     """Shared fwd chain: returns (out, residuals) with residuals the
     pre-activation inputs needed by the backward pass (empty if save=False).
@@ -107,6 +177,7 @@ def _forward_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str, save: bool):
     l = cfg.nlayers
     res: List[Any] = []
     cdt = x.dtype
+    sin_fn, _ = _trig_for(cdt)
 
     def lift(u):
         return u.astype(cdt)
@@ -114,19 +185,19 @@ def _forward_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str, save: bool):
     if variant == "siren":
         if save:
             res.append(x)
-        u = jnp.sin(om * _matmul(x, ws[0]) + bs[0].astype(jnp.float32))
+        u = sin_fn(om * _first_matmul(x, ws[0]) + bs[0].astype(jnp.float32))
         if cfg.use_resblock:
             for i in range(l):
                 if save:
                     res.append(u)
-                h = jnp.sin(
+                h = sin_fn(
                     om * _matmul(lift(u), ws[1 + 2 * i]) + bs[1 + 2 * i].astype(jnp.float32)
                 )
                 if save:
                     res.append(h)
                 u = 0.5 * (
                     u
-                    + jnp.sin(
+                    + sin_fn(
                         om * _matmul(lift(h), ws[2 + 2 * i])
                         + bs[2 + 2 * i].astype(jnp.float32)
                     )
@@ -135,26 +206,26 @@ def _forward_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str, save: bool):
             for i in range(l):
                 if save:
                     res.append(u)
-                u = jnp.sin(
+                u = sin_fn(
                     om * _matmul(lift(u), ws[1 + i]) + bs[1 + i].astype(jnp.float32)
                 )
         if save:
             res.append(u)
-        out = _matmul(lift(u), ws[-1]) + bs[-1].astype(jnp.float32)
+        out = _last_matmul(lift(u), ws[-1]) + bs[-1].astype(jnp.float32)
         return out, res
 
     # vanilla
     act, _ = _act_pair(cfg.activation)
     if save:
         res.append(x)
-    u = act(_matmul(x, ws[0]) + bs[0].astype(jnp.float32))
+    u = act(_first_matmul(x, ws[0]) + bs[0].astype(jnp.float32))
     for i in range(l):
         if save:
             res.append(u)
         u = act(_matmul(lift(u), ws[1 + i]) + bs[1 + i].astype(jnp.float32)) + u
     if save:
         res.append(u)
-    out = _matmul(lift(u), ws[-1]) + bs[-1].astype(jnp.float32)
+    out = _last_matmul(lift(u), ws[-1]) + bs[-1].astype(jnp.float32)
     return out, res
 
 
@@ -244,6 +315,7 @@ def _bwd_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, *refs):
     cdt = x.dtype
     om = jnp.float32(cfg.omega_0)
     l = cfg.nlayers
+    _, cos_fn = _trig_for(cdt)
 
     # Recompute forward, keeping the layer inputs (cheap; avoids writing
     # activations to HBM in the forward pass).
@@ -283,18 +355,18 @@ def _bwd_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, *refs):
                 w1, w2 = ws[1 + 2 * i], ws[2 + 2 * i]
                 b1, b2 = bs[1 + 2 * i], bs[2 + 2 * i]
                 z2 = om * _matmul(lift(h), w2) + b2.astype(jnp.float32)
-                dz2 = 0.5 * du * jnp.cos(z2)
+                dz2 = 0.5 * du * cos_fn(z2)
                 dws[2 + 2 * i] = om * mmT_tn(lift(h), lift(dz2))
                 dbs[2 + 2 * i] = jnp.sum(dz2, axis=0)
                 dh = om * mmT_nt(lift(dz2), w2).astype(jnp.float32)
                 z1 = om * _matmul(lift(u_in), w1) + b1.astype(jnp.float32)
-                dz1 = dh * jnp.cos(z1)
+                dz1 = dh * cos_fn(z1)
                 dws[1 + 2 * i] = om * mmT_tn(lift(u_in), lift(dz1))
                 dbs[1 + 2 * i] = jnp.sum(dz1, axis=0)
                 du = 0.5 * du + om * mmT_nt(lift(dz1), w1).astype(jnp.float32)
             # first layer
-            z0 = om * _matmul(x, ws[0]) + bs[0].astype(jnp.float32)
-            dz0 = du * jnp.cos(z0)
+            z0 = om * _first_matmul(x, ws[0]) + bs[0].astype(jnp.float32)
+            dz0 = du * cos_fn(z0)
             dws[0] = om * mmT_tn(x, lift(dz0))
             dbs[0] = jnp.sum(dz0, axis=0)
             dx = om * mmT_nt(lift(dz0), ws[0])
@@ -307,8 +379,8 @@ def _bwd_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, *refs):
                 dws[1 + i] = om * mmT_tn(lift(u_in), lift(dz))
                 dbs[1 + i] = jnp.sum(dz, axis=0)
                 du = om * mmT_nt(lift(dz), w).astype(jnp.float32)
-            z0 = om * _matmul(x, ws[0]) + bs[0].astype(jnp.float32)
-            dz0 = du * jnp.cos(z0)
+            z0 = om * _first_matmul(x, ws[0]) + bs[0].astype(jnp.float32)
+            dz0 = du * cos_fn(z0)
             dws[0] = om * mmT_tn(x, lift(dz0))
             dbs[0] = jnp.sum(dz0, axis=0)
             dx = om * mmT_nt(lift(dz0), ws[0])
@@ -323,7 +395,7 @@ def _bwd_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, *refs):
             dbs[1 + i] = jnp.sum(dz, axis=0)
             # shortcut: u_{i} = act(z) + u_{i-1} -> grad adds straight through
             du = du + mmT_nt(lift(dz), w).astype(jnp.float32)
-        z0 = _matmul(x, ws[0]) + bs[0].astype(jnp.float32)
+        z0 = _first_matmul(x, ws[0]) + bs[0].astype(jnp.float32)
         dz0 = du * dact(z0)
         dws[0] = mmT_tn(x, lift(dz0))
         dbs[0] = jnp.sum(dz0, axis=0)

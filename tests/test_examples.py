@@ -1,0 +1,68 @@
+"""Smoke-run the tutorial examples with tiny budgets (CPU).
+
+The reference's tutorials ARE its integration tests (SURVEY.md section 4);
+these runs assert each end-to-end workflow executes and trains.
+"""
+import os
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+sys.path.insert(0, os.path.abspath(EXAMPLES))
+
+
+def _imp(name):
+    import importlib
+
+    return importlib.import_module(name)
+
+
+def test_tutorial_1_trains_and_finetunes(tmp_path):
+    mod = _imp("01_simple_1d_wave")
+    mse = mod.main(epochs=60, batch_size=512, lbfgs_iters=30,
+                   ckpt_dir=str(tmp_path / "ckpt"))
+    assert mse < 0.5  # random init starts ~1.0
+
+
+def test_tutorial_2_multiscale():
+    mod = _imp("02_multi_scale_nif")
+    mse = mod.main(epochs=30, batch_size=512)
+    assert mse < 2.0
+
+
+def test_tutorial_3_linear():
+    mod = _imp("03_multi_scale_linear_nif")
+    mse = mod.main(epochs=20, batch_size=1024)
+    assert mse < 2.0
+
+
+def test_tutorial_4_gradients():
+    mod = _imp("04_gradients")
+    mean_dudx = mod.main(epochs=30)
+    assert mean_dudx >= 0
+
+
+def test_tutorial_5_streaming(tmp_path):
+    mod = _imp("05_large_scale_training")
+    loss = mod.main(epochs=2, batch_size=4096, n_points=20_000,
+                    workdir=str(tmp_path))
+    assert loss < 2.0
+
+
+def test_tutorial_7_compression():
+    mod = _imp("07_compression")
+    mse, mse_q = mod.main(epochs=40)
+    assert mse < 1.0 and mse_q < 2.0
+
+
+def test_tutorial_8_sobolev():
+    mod = _imp("08_sobolev_training")
+    value_mse = mod.main(epochs=10)
+    assert value_mse < 5.0
+
+
+def test_tutorial_9_data_parallel():
+    mod = _imp("09_data_parallel")
+    mse = mod.main(epochs=40, batch_size=512)
+    assert mse < 0.9
