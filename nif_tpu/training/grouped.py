@@ -1,0 +1,137 @@
+"""Grouped-layout training: the TPU-first fast path as a user-facing loop.
+
+Point-wise training (``Trainer``) matches the reference's semantics exactly
+but pays the hypernetwork cost per point. When the data is snapshot-
+structured — P coordinate points share each (t, mu), the overwhelmingly
+common case — ``GroupedTrainer`` trains on the ``[G, P, ...]`` layout where
+the ShapeNet runs as batched MXU matmuls through the fused Pallas kernel.
+
+Batching strategy: each step takes a batch of whole groups and a subsample
+of points within each group (fresh random subsample per step, which is the
+grouped analog of point-wise minibatch shuffling).
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from .trainer import TrainState
+
+__all__ = ["GroupedTrainer"]
+
+
+class GroupedTrainer:
+    """Trainer over the grouped layout (t: [G, pi], x: [G, P, si], u: [G, P, so]).
+
+    Usage::
+
+        t, x, u = demo_dataset.as_grouped()
+        trainer = GroupedTrainer(model, optax.adam(1e-3))
+        state = trainer.init(jax.random.key(0))
+        state = trainer.fit(state, t, x, u, epochs=100,
+                            group_batch=16, point_batch=4096)
+    """
+
+    def __init__(self, model, optimizer: optax.GradientTransformation,
+                 mesh=None, use_reg: bool = True, seed: int = 0):
+        self.model = model
+        self.tx = optimizer
+        self.mesh = mesh
+        self.use_reg = use_reg
+        self._rng = np.random.default_rng(seed)
+        self.history: Dict[str, List[float]] = {"epoch": [], "loss": []}
+
+        def loss_fn(params, t, x, u, w):
+            pred = model.apply_grouped(params, t, x)
+            err = jnp.square(pred - u.astype(pred.dtype))
+            if w is not None:
+                err = err * w[..., None].astype(pred.dtype)
+            loss = jnp.mean(err)
+            if use_reg:
+                loss = loss + model.regularization_loss(params)
+            return loss
+
+        @jax.jit
+        def step(state: TrainState, t, x, u, w=None):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, t, x, u, w)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        self._step = step
+
+    def init(self, key) -> TrainState:
+        params = self.model.init(key)
+        if self.mesh is not None:
+            params = jax.device_put(params, replicated_sharding(self.mesh))
+        return TrainState(params, self.tx.init(params), 0)
+
+    def _put(self, *arrays):
+        if self.mesh is None:
+            return tuple(None if a is None else jnp.asarray(a) for a in arrays)
+        sh = batch_sharding(self.mesh)
+        return tuple(
+            None if a is None else jax.device_put(np.asarray(a), sh) for a in arrays
+        )
+
+    def fit(
+        self,
+        state: TrainState,
+        t: np.ndarray,
+        x: np.ndarray,
+        u: np.ndarray,
+        sample_weight: Optional[np.ndarray] = None,
+        epochs: int = 1,
+        group_batch: Optional[int] = None,
+        point_batch: Optional[int] = None,
+        callbacks: Sequence = (),
+        verbose_every: int = 0,
+    ) -> TrainState:
+        G, P = x.shape[0], x.shape[1]
+        group_batch = min(group_batch or G, G)
+        point_batch = min(point_batch or P, P)
+
+        for cb in callbacks:
+            cb.on_train_begin(self)
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            g_order = self._rng.permutation(G)
+            losses = []
+            for s in range(0, G - group_batch + 1, group_batch):
+                gsel = g_order[s : s + group_batch]
+                psel = self._rng.choice(P, size=point_batch, replace=False)
+                w = (
+                    None
+                    if sample_weight is None
+                    else sample_weight[gsel][:, psel]
+                )
+                bt, bx, bu, bw = self._put(
+                    t[gsel], x[gsel][:, psel], u[gsel][:, psel], w
+                )
+                state, loss = self._step(state, bt, bx, bu, bw)
+                losses.append(loss)
+            epoch_loss = float(np.mean(jax.device_get(losses))) if losses else float("nan")
+            self.history["epoch"].append(epoch)
+            self.history["loss"].append(epoch_loss)
+            logs = {"loss": epoch_loss, "epoch": epoch,
+                    "time": time.perf_counter() - t0}
+            if verbose_every and epoch % verbose_every == 0:
+                print(f"epoch {epoch:5d}  loss {epoch_loss:.6e}  ({logs['time']:.3f}s)")
+            for cb in callbacks:
+                cb.on_epoch_end(self, state, epoch, logs)
+        for cb in callbacks:
+            cb.on_train_end(self, state)
+        return state
+
+    def evaluate(self, state: TrainState, t, x, u, sample_weight=None) -> float:
+        pred = self.model.apply_grouped(state.params, jnp.asarray(t), jnp.asarray(x))
+        err = jnp.square(pred - jnp.asarray(u, pred.dtype))
+        if sample_weight is not None:
+            err = err * jnp.asarray(sample_weight)[..., None].astype(pred.dtype)
+        return float(jnp.mean(err))

@@ -110,6 +110,20 @@ class Trainer:
             params = jax.device_put(params, replicated_sharding(self.mesh))
         return TrainState(params, self.tx.init(params), 0)
 
+    def init_or_restore(self, key, ckpt_dir: str) -> TrainState:
+        """Resumable init: restore the latest checkpoint in ``ckpt_dir`` if
+        one exists (failure-recovery path — reference README.md:186-196 is
+        manual re-run + load_weights), else fresh init."""
+        from .checkpoint import Checkpointer
+
+        state = self.init(key)
+        ckpt = Checkpointer(ckpt_dir)
+        step = ckpt.latest_step()
+        if step is None:
+            return state
+        params = ckpt.restore(step, template=state.params)
+        return TrainState(params, self.tx.init(params), step)
+
     def _put_batch(self, *arrays):
         if self.mesh is None:
             return tuple(None if a is None else jnp.asarray(a) for a in arrays)

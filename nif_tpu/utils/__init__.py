@@ -1,4 +1,5 @@
 from .policy import Policy, get_policy
 from .precision import high_precision
+from .profiling import StepTimer, enable_nan_checks, trace
 
-__all__ = ["Policy", "get_policy", "high_precision"]
+__all__ = ["Policy", "get_policy", "high_precision", "trace", "StepTimer", "enable_nan_checks"]
