@@ -23,10 +23,13 @@ from typing import Optional
 
 import optax
 
+from .adabelief import adabelief_full, scale_by_belief
 from .lbfgs import LBFGS, lbfgs_minimize
 
 __all__ = [
     "adam",
+    "adabelief_full",
+    "scale_by_belief",
     "adabelief",
     "lion",
     "LBFGS",
