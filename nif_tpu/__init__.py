@@ -12,6 +12,7 @@ spatio-temporal fields via hypernetworks, redesigned for TPU:
   jacfwd/jvp compositions, orbax checkpointing.
 """
 from .__about__ import __version__
+from . import compression
 from . import data
 from . import demo
 from . import layers
@@ -19,7 +20,9 @@ from . import models
 from . import ops
 from . import optimizers
 from . import parallel
+from . import serving
 from . import training
+from . import utils
 from .config import NIFConfig, ParameterNetConfig, ShapeNetConfig
 from .models import NIF, NIFMultiScale, NIFMultiScaleLastLayerParameterized
 from .utils.policy import Policy, get_policy
@@ -41,5 +44,8 @@ __all__ = [
     "ops",
     "optimizers",
     "parallel",
+    "serving",
     "training",
+    "utils",
+    "compression",
 ]

@@ -1,0 +1,157 @@
+"""Utils: policy, metrics, precision context, regularization paths."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nif_tpu
+from nif_tpu.config import ParameterNetConfig, ShapeNetConfig
+from nif_tpu.utils import Policy, get_policy, high_precision, mse, rel_l2, rmse
+
+
+class TestPolicy:
+    def test_float32(self):
+        p = get_policy("float32")
+        assert p.param_dtype == jnp.float32 and p.compute_dtype == jnp.float32
+
+    def test_mixed_bfloat16(self):
+        p = get_policy("mixed_bfloat16")
+        assert p.param_dtype == jnp.float32 and p.compute_dtype == jnp.bfloat16
+
+    def test_mixed_float16_maps_to_bf16(self):
+        # reference-config compat: f16 has no TPU advantage
+        p = get_policy("mixed_float16")
+        assert p.compute_dtype == jnp.bfloat16
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            get_policy("float8")
+
+    def test_policy_passthrough(self):
+        p = get_policy("float32")
+        assert get_policy(p) is p
+
+    def test_mixed_model_output_is_param_dtype(self):
+        model = nif_tpu.NIF(
+            {"input_dim": 1, "output_dim": 1, "units": 8, "nlayers": 1,
+             "activation": "tanh"},
+            {"input_dim": 1, "latent_dim": 1, "units": 8, "nlayers": 1,
+             "activation": "tanh"},
+            mixed_policy="mixed_bfloat16",
+        )
+        params = model.init(jax.random.key(0))
+        # params stored in f32
+        assert all(
+            p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(params)
+        )
+        u = model.apply(params, np.zeros((3, 2), np.float32))
+        assert u.dtype == jnp.float32  # cast back at the boundary
+
+
+class TestMetrics:
+    def test_rel_l2(self):
+        t = jnp.asarray([3.0, 4.0])
+        assert float(rel_l2(t, t)) == 0.0
+        assert float(rel_l2(jnp.zeros(2), t)) == pytest.approx(1.0)
+        # scale invariance
+        assert float(rel_l2(2 * t, t)) == pytest.approx(1.0)
+
+    def test_mse_rmse(self):
+        a, b = jnp.asarray([1.0, 3.0]), jnp.asarray([1.0, 1.0])
+        assert float(mse(a, b)) == pytest.approx(2.0)
+        assert float(rmse(a, b)) == pytest.approx(np.sqrt(2.0))
+
+
+class TestRegularization:
+    def _model(self, **pnet_extra):
+        cfg_s = ShapeNetConfig(input_dim=1, output_dim=1, units=8, nlayers=1,
+                               activation="tanh")
+        cfg_p = ParameterNetConfig(input_dim=1, latent_dim=2, units=8,
+                                   nlayers=1, activation="tanh", **pnet_extra)
+        return nif_tpu.NIF(cfg_s, cfg_p)
+
+    def test_no_reg_is_zero(self):
+        m = self._model()
+        params = m.init(jax.random.key(0))
+        assert float(m.regularization_loss(params)) == 0.0
+
+    def test_l2_reg_positive(self):
+        m = self._model(l2_reg=1e-3)
+        params = m.init(jax.random.key(0))
+        val = float(m.regularization_loss(params))
+        expected = 1e-3 * sum(
+            float(jnp.sum(jnp.square(p)))
+            for p in jax.tree_util.tree_leaves(params["pnet"])
+        )
+        assert val == pytest.approx(expected, rel=1e-5)
+
+    def test_l1_reg(self):
+        m = self._model(l1_reg=1e-3)
+        params = m.init(jax.random.key(0))
+        assert float(m.regularization_loss(params)) > 0
+
+    def test_act_reg_requires_inputs(self):
+        m = self._model(act_l1_reg=0.1)
+        params = m.init(jax.random.key(0))
+        with pytest.raises(ValueError):
+            m.regularization_loss(params)
+        inputs = jnp.zeros((4, 2))
+        assert float(m.regularization_loss(params, inputs)) >= 0
+
+    def test_act_l2_reg(self):
+        m = self._model(act_l2_reg=0.1)
+        params = m.init(jax.random.key(0))
+        inputs = jnp.ones((4, 2))
+        # act reg = 0.1 * sum(wb^2) over the pnet output
+        wb = m.p_to_w(params, inputs[:, :1])
+        expected = 0.1 * float(jnp.sum(jnp.square(wb)))
+        assert float(m.regularization_loss(params, inputs)) == pytest.approx(
+            expected, rel=1e-5
+        )
+
+
+class TestHighPrecision:
+    def test_context_runs(self):
+        with high_precision():
+            a = jnp.ones((8, 8))
+            out = jax.jit(lambda a: a @ a)(a)
+        assert float(out[0, 0]) == 8.0
+
+
+class TestInitDistributions:
+    """Init parity with the reference distributions (SURVEY.md section 8.2)."""
+
+    def test_truncated_normal_bounds(self):
+        from nif_tpu.layers import truncated_normal_init
+
+        w = truncated_normal_init(jax.random.key(0), (10000,), stddev=0.1)
+        w = np.asarray(w)
+        assert np.abs(w).max() <= 0.2 + 1e-6  # truncated at 2 stddev
+        assert 0.07 < w.std() < 0.1
+
+    def test_siren_first_bounds(self):
+        from nif_tpu.layers import siren_first_init
+
+        w, b = siren_first_init(jax.random.key(0), 4, 5000)
+        assert float(jnp.abs(w).max()) <= 1 / 4 + 1e-6
+        assert float(jnp.abs(b).max()) <= 1 / 2 + 1e-6
+
+    def test_siren_hidden_bounds(self):
+        from nif_tpu.layers import siren_hidden_init
+
+        w, b = siren_hidden_init(jax.random.key(0), 64, 2000, omega_0=30.0)
+        lim = np.sqrt(6.0 / 64) / 30.0
+        assert float(jnp.abs(w).max()) <= lim + 1e-7
+        assert float(jnp.abs(b).max()) <= 1 / 8 + 1e-6
+
+    def test_hyper_bias_segment_scales(self):
+        from nif_tpu.layers import hyper_bias_scales
+
+        s = hyper_bias_scales(
+            num_outputs=100, num_weight_first=10, num_weight_hidden=50,
+            num_weight_last=20, input_dim=2, width=16, omega_0=30.0,
+        )
+        np.testing.assert_allclose(s[:10], 1 / 2)
+        np.testing.assert_allclose(s[10:60], np.sqrt(6 / 16) / 30)
+        np.testing.assert_allclose(s[60:80], np.sqrt(6 / 32))
+        np.testing.assert_allclose(s[80:], 1 / 16)
