@@ -1,5 +1,6 @@
 from .mesh import (
     batch_sharding,
+    make_hybrid_mesh,
     make_mesh,
     pad_to_multiple,
     replicated_sharding,
@@ -8,6 +9,7 @@ from .mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_hybrid_mesh",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",

@@ -8,9 +8,11 @@ embarrassingly parallel over the point axis. Here that becomes a
 parameters replicated: XLA inserts the gradient ``psum`` over ICI
 automatically when the jitted train step reduces the loss.
 
-Axes beyond ``data`` are supported for scale-out of huge hypernet heads
-(sharding the po_dim output column-wise — tensor parallelism) via the
-``model`` axis; see ``hyper_head_sharding``.
+Axes beyond ``data`` are supported for scale-out of huge hypernetwork
+heads (row-parallel split of the latent contracting dim) via a ``model``
+axis — see ``__graft_entry__.dryrun_multichip`` for the full recipe — and
+multi-slice deployments get a leading DCN ``replica`` axis from
+:func:`make_hybrid_mesh`.
 """
 from __future__ import annotations
 
@@ -22,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "make_hybrid_mesh",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
@@ -52,8 +55,53 @@ def make_mesh(
     return Mesh(dev_array, axis_names)
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Sharding for a [B, ...] batch: split dim 0 over the data axis."""
+def make_hybrid_mesh(
+    ici_axes: Sequence[str] = ("data",),
+    ici_shape: Optional[Sequence[int]] = None,
+    dcn_axis: str = "replica",
+    num_slices: Optional[int] = None,
+) -> Mesh:
+    """Multi-slice mesh: a DCN ('replica') axis across slices and ICI axes
+    within each slice.
+
+    Shardings that only touch ICI axes keep their collectives on the
+    fast intra-slice interconnect; putting pure data parallelism on the
+    ``dcn_axis`` means only the gradient all-reduce crosses DCN — the
+    standard multi-slice recipe. Falls back to a flat mesh when the
+    runtime reports a single slice (or no slice info, e.g. CPU).
+    """
+    devices = jax.devices()
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    n_slices = num_slices or len(slice_ids)
+    if n_slices <= 1:
+        mesh = make_mesh(axis_names=tuple(ici_axes), mesh_shape=ici_shape)
+        # Present a degenerate replica axis so sharding specs are portable.
+        dev = mesh.devices.reshape((1,) + mesh.devices.shape)
+        return Mesh(dev, (dcn_axis,) + tuple(ici_axes))
+    from jax.experimental import mesh_utils
+
+    per_slice = len(devices) // n_slices
+    if ici_shape is None:
+        ici_shape = (per_slice,) + (1,) * (len(ici_axes) - 1)
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=tuple(ici_shape),
+        dcn_mesh_shape=(n_slices,) + (1,) * (len(ici_axes) - 1),
+        devices=devices,
+    )
+    # hybrid mesh returns shape (n_slices*ici...)—reshape to lead with DCN
+    dev_array = np.asarray(dev_array).reshape((n_slices,) + tuple(ici_shape))
+    return Mesh(dev_array, (dcn_axis,) + tuple(ici_axes))
+
+
+def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
+    """Sharding for a [B, ...] batch: split dim 0 over the batch-like axes.
+
+    By default uses every mesh axis named 'replica' or 'data' that is
+    present (so hybrid meshes shard the batch across DCN x ICI jointly).
+    """
+    if axis is None:
+        axes = tuple(a for a in mesh.axis_names if a in ("replica", "data"))
+        axis = axes if axes else mesh.axis_names[:1]
     return NamedSharding(mesh, P(axis))
 
 
@@ -76,7 +124,7 @@ def pad_to_multiple(arr: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
     return np.concatenate([arr, pad], axis=0), n
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+def shard_batch(batch, mesh: Mesh, axis=None):
     """Device-put a pytree of [B, ...] arrays sharded over the data axis."""
     sh = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

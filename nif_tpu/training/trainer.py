@@ -143,6 +143,8 @@ class Trainer:
         shuffle: bool = True,
         callbacks: Sequence = (),
         verbose_every: int = 0,
+        validation_data: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        validation_every: int = 1,
     ) -> TrainState:
         n = inputs.shape[0]
         batch_size = batch_size or n
@@ -171,6 +173,10 @@ class Trainer:
                 "epoch": epoch,
                 "time": time.perf_counter() - t0,
             }
+            if validation_data is not None and epoch % validation_every == 0:
+                vi, vt = validation_data
+                logs["val_loss"] = self.evaluate(state, vi, vt)
+                self.history.setdefault("val_loss", []).append(logs["val_loss"])
             if verbose_every and epoch % verbose_every == 0:
                 print(f"epoch {epoch:5d}  loss {epoch_loss:.6e}  ({logs['time']:.3f}s)")
             for cb in callbacks:
