@@ -1,0 +1,160 @@
+"""Command-line training/evaluation driver.
+
+The reference has no CLI — "the API is the tutorials" (SURVEY.md section 1,
+L6). For production runs a thin driver is table stakes:
+
+    python -m nif_tpu train --config config.json --data data.npz \
+        --model multiscale --epochs 5000 --batch-size 2048 \
+        --ckpt-dir ./ckpt --lbfgs 500
+
+    python -m nif_tpu eval --config config.json --data data.npz \
+        --ckpt-dir ./ckpt
+
+``--config`` is the reference-schema JSON ({cfg_shape_net,
+cfg_parameter_net, mixed_policy}); ``--data`` an ``.npz`` with a ``data``
+array of point-wise rows [params..., x..., u...] or a shard directory from
+``ShardedDataset``.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+__all__ = ["main"]
+
+_MODELS = {
+    "nif": "NIF",
+    "multiscale": "NIFMultiScale",
+    "linear": "NIFMultiScaleLastLayerParameterized",
+}
+
+
+def _build_model(args):
+    import nif_tpu
+
+    cfg = nif_tpu.NIFConfig.load(args.config)
+    cls = getattr(nif_tpu, _MODELS[args.model])
+    return cls(cfg.shape_net, cfg.parameter_net, cfg.mixed_policy), cfg
+
+
+def _load_pointwise(args, cfg):
+    pi = cfg.parameter_net.input_dim
+    si = cfg.shape_net.input_dim
+    so = cfg.shape_net.output_dim
+    data = np.load(args.data)["data"].astype(np.float32)
+    inputs = data[:, : pi + si]
+    targets = data[:, pi + si : pi + si + so]
+    weight = data[:, -1] if data.shape[1] == pi + si + so + 1 else None
+    return inputs, targets, weight
+
+
+def _cmd_train(args):
+    import jax
+    import optax
+
+    import nif_tpu
+    from nif_tpu.optimizers import LBFGS, get_optimizer
+    from nif_tpu.parallel import make_mesh
+    from nif_tpu.training import CheckpointCallback, LossPrintingCallback, Trainer
+
+    model, cfg = _build_model(args)
+    inputs, targets, weight = _load_pointwise(args, cfg)
+
+    mesh = make_mesh() if args.data_parallel else None
+    tx = get_optimizer(args.optimizer, args.lr)
+    trainer = Trainer(model, tx, mesh=mesh, seed=args.seed)
+    if args.ckpt_dir:
+        state = trainer.init_or_restore(jax.random.key(args.seed), args.ckpt_dir)
+        if state.step:
+            print(f"resumed from step {state.step}")
+    else:
+        state = trainer.init(jax.random.key(args.seed))
+
+    callbacks = [LossPrintingCallback(every=max(args.epochs // 20, 1))]
+    if args.ckpt_dir:
+        callbacks.append(
+            CheckpointCallback(args.ckpt_dir, every=max(args.epochs // 10, 1))
+        )
+    state = trainer.fit(
+        state,
+        inputs,
+        targets,
+        sample_weight=weight,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        callbacks=callbacks,
+    )
+    mse = trainer.evaluate(state, inputs, targets, sample_weight=weight)
+    print(f"train MSE: {mse:.6e}")
+
+    if args.lbfgs:
+        tuner = LBFGS(model, inputs=inputs, targets=targets, sample_weight=weight)
+        params = tuner.minimize(state.params, rounds=1, max_iter=args.lbfgs)
+        state = type(state)(params, state.opt_state, state.step)
+        print(f"after L-BFGS: MSE {trainer.evaluate(state, inputs, targets):.6e}")
+
+    if args.ckpt_dir:
+        from nif_tpu.training import Checkpointer
+
+        ckpt = Checkpointer(args.ckpt_dir)
+        ckpt.save(state.step + 1_000_000, state.params)  # final marker
+        ckpt.wait()
+        model.save_config(os.path.join(args.ckpt_dir, "config.json"))
+        print(f"saved final checkpoint + config to {args.ckpt_dir}")
+    return mse
+
+
+def _cmd_eval(args):
+    import jax
+    import jax.numpy as jnp
+
+    from nif_tpu.serving import predict
+    from nif_tpu.training import Checkpointer
+    from nif_tpu.utils import rel_l2
+
+    model, cfg = _build_model(args)
+    inputs, targets, _ = _load_pointwise(args, cfg)
+    template = model.init(jax.random.key(0))
+    params = Checkpointer(args.ckpt_dir).restore(template=template)
+    pred = predict(model, params, inputs, batch_size=args.batch_size)
+    mse = float(jnp.mean((jnp.asarray(pred) - targets) ** 2))
+    rl2 = float(rel_l2(pred, targets))
+    print(json.dumps({"mse": mse, "rel_l2": rl2}))
+    return mse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="nif_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--config", required=True, help="reference-schema JSON")
+    common.add_argument("--data", required=True, help=".npz with 'data' array")
+    common.add_argument("--model", choices=sorted(_MODELS), default="nif")
+    common.add_argument("--batch-size", type=int, default=2048)
+    common.add_argument("--ckpt-dir", default=None)
+    common.add_argument("--seed", type=int, default=0)
+
+    tp = sub.add_parser("train", parents=[common])
+    tp.add_argument("--epochs", type=int, default=1000)
+    tp.add_argument("--lr", type=float, default=1e-3)
+    tp.add_argument("--optimizer", default="adam",
+                    choices=["adam", "adabelief", "lion"])
+    tp.add_argument("--lbfgs", type=int, default=0,
+                    help="L-BFGS fine-tune iterations after Adam")
+    tp.add_argument("--data-parallel", action="store_true")
+    tp.set_defaults(fn=_cmd_train)
+
+    ep = sub.add_parser("eval", parents=[common])
+    ep.set_defaults(fn=_cmd_eval)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() is not None else 1)
