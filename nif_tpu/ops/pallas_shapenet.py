@@ -475,13 +475,21 @@ def _bwd_pallas(ws, bs, x, g_out, cfg, variant, interpret):
 # --------------------------------------------------------------------------
 # Public entry with custom VJP
 # --------------------------------------------------------------------------
+def _resolve_interpret(interpret):
+    if interpret is None:
+        # Pallas TPU kernels only compile on TPU; interpret elsewhere so the
+        # same user code runs on CPU (tests, debugging).
+        return jax.default_backend() == "cpu"
+    return interpret
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def shapenet_grouped_fused(
     wb: jnp.ndarray,
     x: jnp.ndarray,
     cfg: ShapeNetConfig,
     variant: str = "siren",
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """Drop-in fused replacement for :func:`shapenet_grouped`.
 
@@ -493,7 +501,7 @@ def shapenet_grouped_fused(
         return shapenet_grouped(wb, x, cfg, variant)
     parts = unpack_shapenet_weights(wb, cfg)
     ws, bs = _split_chain(parts)
-    return _fwd_pallas(ws, bs, x, cfg, variant, interpret)
+    return _fwd_pallas(ws, bs, x, cfg, variant, _resolve_interpret(interpret))
 
 
 def _fused_fwd(wb, x, cfg, variant, interpret):
@@ -509,7 +517,9 @@ def _fused_bwd(cfg, variant, interpret, resid, g_out):
         return vjp(g_out)
     parts = unpack_shapenet_weights(wb, cfg)
     ws, bs = _split_chain(parts)
-    dws, dbs, dx = _bwd_pallas(ws, bs, x, g_out, cfg, variant, interpret)
+    dws, dbs, dx = _bwd_pallas(
+        ws, bs, x, g_out, cfg, variant, _resolve_interpret(interpret)
+    )
     # Re-flatten the segment grads into the wb layout:
     # [W_first | W_hidden... | W_last | b_first | b_hidden... | b_last].
     G = wb.shape[0]

@@ -213,3 +213,43 @@ class TestConfigIO:
     def test_linear_requires_last_layer(self):
         with pytest.raises(ValueError):
             NIFMultiScaleLastLayerParameterized(CFG_S, CFG_P)
+
+
+class TestLinearFusedTrunk:
+    def _model(self, resblock=False):
+        from nif_tpu.config import ParameterNetConfig, ShapeNetConfig
+        cfg_s = ShapeNetConfig(
+            input_dim=2, output_dim=2, units=16, nlayers=2, activation="sine",
+            connectivity="last_layer", omega_0=10.0, use_resblock=resblock,
+        )
+        cfg_p = ParameterNetConfig(
+            input_dim=1, latent_dim=4, units=8, nlayers=1, activation="swish",
+        )
+        return NIFMultiScaleLastLayerParameterized(cfg_s, cfg_p)
+
+    @pytest.mark.parametrize("resblock", [False, True])
+    def test_fused_trunk_matches_xla(self, resblock):
+        model = self._model(resblock)
+        params = model.init(jax.random.key(0))
+        x = np.random.default_rng(0).standard_normal((256, 2)).astype(np.float32)
+        phi_ref = np.asarray(model.x_to_phi(params, x))
+        phi_fused = np.asarray(model.x_to_phi(params, x, fused=True))
+        np.testing.assert_allclose(phi_fused, phi_ref, rtol=2e-4, atol=1e-5)
+
+    def test_fused_trunk_gradients(self):
+        model = self._model()
+        params = model.init(jax.random.key(1))
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((128, 2)), jnp.float32
+        )
+        g_ref = jax.grad(lambda p: jnp.sum(model.x_to_phi(p, x) ** 2))(params)
+        g_fused = jax.grad(
+            lambda p: jnp.sum(model.x_to_phi(p, x, fused=True) ** 2)
+        )(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_fused)
+        ):
+            scale = float(jnp.max(jnp.abs(a))) + 1e-8
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-5
+            )
