@@ -95,20 +95,50 @@ class Trainer:
         mesh=None,
         use_reg: bool = True,
         seed: int = 0,
+        shard_opt_state: bool = False,
     ):
+        """``shard_opt_state=True`` (requires a mesh) stripes large optimizer
+        moments across the data axis, ZeRO-1 style: the Adam m/v for the
+        hypernetwork head scale as latent_dim x po_dim and dominate HBM for
+        big ShapeNets; sharding them cuts that by the data-parallel degree
+        while XLA keeps the update local and re-gathers nothing (params
+        remain replicated; only the elementwise moment update is sharded)."""
         self.model = model
         self.tx = optimizer
         self.mesh = mesh
         self.use_reg = use_reg
+        self.shard_opt_state = shard_opt_state
         self._rng = np.random.default_rng(seed)
         self._step = make_train_step(model, optimizer, use_reg)
         self.history: Dict[str, List[float]] = {"epoch": [], "loss": []}
+
+    def _maybe_shard_opt_state(self, opt_state):
+        if self.mesh is None or not self.shard_opt_state:
+            return opt_state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = self.mesh.shape.get("data", 1)
+
+        def spec_for(leaf):
+            if (
+                hasattr(leaf, "ndim")
+                and leaf.ndim >= 1
+                and leaf.size >= 1 << 16
+                and leaf.shape[0] % n_data == 0
+            ):
+                return NamedSharding(self.mesh, P("data"))
+            return NamedSharding(self.mesh, P())
+
+        return jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, spec_for(leaf)), opt_state
+        )
 
     def init(self, key) -> TrainState:
         params = self.model.init(key)
         if self.mesh is not None:
             params = jax.device_put(params, replicated_sharding(self.mesh))
-        return TrainState(params, self.tx.init(params), 0)
+        opt_state = self._maybe_shard_opt_state(self.tx.init(params))
+        return TrainState(params, opt_state, 0)
 
     def init_or_restore(self, key, ckpt_dir: str) -> TrainState:
         """Resumable init: restore the latest checkpoint in ``ckpt_dir`` if
