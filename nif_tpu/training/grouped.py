@@ -39,7 +39,11 @@ class GroupedTrainer:
     """
 
     def __init__(self, model, optimizer: optax.GradientTransformation,
-                 mesh=None, use_reg: bool = True, seed: int = 0):
+                 mesh=None, use_reg: bool = True, seed: int = 0,
+                 fused: Optional[bool] = None):
+        """``fused=None`` (auto) uses the single-pass fused train kernel on
+        TPU via ``model.mse_value_and_grad`` — forward + loss + backward in
+        one pallas_call."""
         self.model = model
         self.tx = optimizer
         self.mesh = mesh
@@ -47,19 +51,11 @@ class GroupedTrainer:
         self._rng = np.random.default_rng(seed)
         self.history: Dict[str, List[float]] = {"epoch": [], "loss": []}
 
-        def loss_fn(params, t, x, u, w):
-            pred = model.apply_grouped(params, t, x)
-            err = jnp.square(pred - u.astype(pred.dtype))
-            if w is not None:
-                err = err * w[..., None].astype(pred.dtype)
-            loss = jnp.mean(err)
-            if use_reg:
-                loss = loss + model.regularization_loss(params)
-            return loss
-
         @jax.jit
         def step(state: TrainState, t, x, u, w=None):
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, t, x, u, w)
+            loss, grads = model.mse_value_and_grad(
+                state.params, t, x, u, weight=w, fused=fused, use_reg=use_reg
+            )
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, opt_state, state.step + 1), loss

@@ -99,3 +99,53 @@ def test_model_fused_flag_matches_xla():
     np.testing.assert_allclose(
         np.asarray(u_fused), np.asarray(u_xla), rtol=2e-4, atol=1e-5
     )
+
+
+class TestFusedMseGrads:
+    @pytest.mark.parametrize("variant,cfg", CASES[:3])
+    def test_matches_value_and_grad(self, variant, cfg):
+        wb, x = _data(cfg, seed=3)
+        rng = np.random.default_rng(4)
+        tgt = jnp.asarray(rng.standard_normal((3, 256, cfg.output_dim)), jnp.float32)
+        w = jnp.asarray(rng.uniform(0.5, 1.5, (3, 256)), jnp.float32)
+        from nif_tpu.ops.pallas_shapenet import shapenet_mse_grads
+
+        for weight in [None, w]:
+            def loss_fn(wb):
+                pred = shapenet_grouped(wb, x, cfg, variant)
+                err = jnp.square(pred - tgt)
+                if weight is not None:
+                    err = err * weight[..., None]
+                return jnp.mean(err)
+
+            l_ref, g_ref = jax.value_and_grad(loss_fn)(wb)
+            l_f, g_f = shapenet_mse_grads(wb, x, tgt, cfg, variant, weight, True)
+            assert float(l_f) == pytest.approx(float(l_ref), rel=1e-5)
+            scale = float(jnp.max(jnp.abs(g_ref))) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(g_f) / scale, np.asarray(g_ref) / scale, atol=5e-6
+            )
+
+    def test_model_level_fused_train_matches(self):
+        """mse_value_and_grad(fused=True interpret) == plain value_and_grad."""
+        from nif_tpu import NIFMultiScale
+
+        cfg_s = {"input_dim": 2, "output_dim": 1, "units": 32, "nlayers": 2,
+                 "activation": "sine", "use_resblock": False, "omega_0": 10.0,
+                 "connectivity": "full", "weight_init_factor": 0.01}
+        cfg_p = {"input_dim": 1, "latent_dim": 4, "units": 16, "nlayers": 1,
+                 "activation": "swish"}
+        model = NIFMultiScale(cfg_s, cfg_p)
+        params = model.init(jax.random.key(0))
+        rng = np.random.default_rng(5)
+        t = jnp.asarray(rng.standard_normal((2, 1)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((2, 128, 2)), jnp.float32)
+        u = jnp.asarray(rng.standard_normal((2, 128, 1)), jnp.float32)
+        l_ref, g_ref = model.mse_value_and_grad(params, t, x, u, fused=False)
+        l_f, g_f = model.mse_value_and_grad(params, t, x, u, fused=True)
+        assert float(l_f) == pytest.approx(float(l_ref), rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_f)):
+            scale = float(jnp.max(jnp.abs(a))) + 1e-9
+            np.testing.assert_allclose(np.asarray(b) / scale,
+                                       np.asarray(a) / scale, atol=1e-5)
