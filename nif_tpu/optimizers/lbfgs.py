@@ -32,11 +32,18 @@ def lbfgs_minimize(
     memory_size: int = 20,
     tolerance: float = 1e-15,
     learning_rate: Optional[float] = None,
+    opt_state=None,
+    return_state: bool = False,
 ):
     """Minimize ``loss_fn(params)`` with L-BFGS; returns (params, losses).
 
     Runs up to ``max_iter`` iterations, recording the loss at each step.
     The whole optimization is one jitted ``lax.while_loop``.
+
+    Pass ``opt_state`` from a previous call (with ``return_state=True``) to
+    CONTINUE with the accumulated curvature pairs instead of restarting —
+    the ``previous_optimizer_results`` pattern of the reference's
+    resumable ``LBFGSOptimizer`` (nif/optimizers/lbfgs_V2.py:104-112).
     """
     opt = optax.lbfgs(
         learning_rate=learning_rate,
@@ -48,8 +55,7 @@ def lbfgs_minimize(
     value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
     @jax.jit
-    def run(params):
-        opt_state = opt.init(params)
+    def run(params, opt_state):
         losses0 = jnp.full((max_iter,), jnp.nan, jnp.float32)
 
         def cond(carry):
@@ -73,16 +79,21 @@ def lbfgs_minimize(
         i, params, opt_state, losses, _ = jax.lax.while_loop(
             cond, body, (0, params, opt_state, losses0, jnp.asarray(False))
         )
-        return params, losses, i
+        return params, losses, i, opt_state
 
     # L-BFGS curvature pairs and line searches are precision-sensitive: on
     # TPU the default f32 matmul runs at reduced internal precision, which
     # measurably stalls convergence. This is a fine-tuning path — accuracy
     # beats speed — so trace under full f32 matmul precision.
     with jax.default_matmul_precision("highest"):
-        params, losses, n = run(params)
+        if opt_state is None:
+            opt_state = opt.init(params)
+        params, losses, n, opt_state = run(params, opt_state)
     n = int(n)
-    return params, np.asarray(losses)[:n]
+    losses = np.asarray(losses)[:n]
+    if return_state:
+        return params, losses, opt_state
+    return params, losses
 
 
 class LBFGS:
@@ -125,18 +136,26 @@ class LBFGS:
             loss = loss + self.model.regularization_loss(params, self.inputs)
         return loss
 
-    def minimize(self, params, rounds: int = 1, max_iter: int = 500, **kw):
+    def minimize(self, params, rounds: int = 1, max_iter: int = 500,
+                 resume: bool = False, **kw):
         """Run ``rounds`` restarts of up to ``max_iter`` iterations each.
 
         Restarting clears the curvature memory, mirroring the reference's
         outer rounds loop (reference nif/optimizers/lbfgs.py:104-119).
+        With ``resume=True`` the curvature pairs carry across rounds AND
+        across repeated ``minimize`` calls — the resumable
+        ``LBFGSOptimizer`` behavior (reference nif/optimizers/lbfgs_V2.py).
         Returns the optimized params.
         """
+        state = getattr(self, "_opt_state", None) if resume else None
         for _ in range(rounds):
-            params, losses = lbfgs_minimize(
-                self._objective, params, max_iter=max_iter, **kw
+            params, losses, state = lbfgs_minimize(
+                self._objective, params, max_iter=max_iter,
+                opt_state=state if resume else None, return_state=True, **kw
             )
             self._history.extend(losses.tolist())
+        if resume:
+            self._opt_state = state
         return params
 
     @property

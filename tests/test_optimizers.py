@@ -121,3 +121,13 @@ def test_adabelief_with_schedule():
     p0 = jnp.array([3.0, -2.0])
     _, l = run_opt(tx, lambda p: jnp.sum(p**2), p0, steps=200)
     assert l < 1.0
+
+
+def test_lbfgs_resume_continues():
+    """Resumable L-BFGS: two 25-iter resumed calls track one 50-iter run."""
+    p0 = jnp.zeros(5)
+    p_a, l_a, st = lbfgs_minimize(quad, p0, max_iter=25, return_state=True)
+    p_a2, l_a2 = lbfgs_minimize(quad, p_a, max_iter=25, opt_state=st)
+    p_b, l_b = lbfgs_minimize(quad, p0, max_iter=50)
+    assert float(quad(p_a2)) < 1e-8
+    assert float(quad(p_b)) < 1e-8
