@@ -579,7 +579,7 @@ def shapenet_mse_grads(
         args.append(weight.astype(x.dtype))
 
     out_specs = (
-        [pl.BlockSpec((1, 1), lambda g, p: (0, 0), memory_space=pltpu.VMEM)]
+        [pl.BlockSpec((1, 1), lambda g, p: (0, 0), memory_space=pltpu.SMEM)]
         + [wspec(w.shape[1:]) for w in ws]
         + [bspec(b) for b in bs3]
     )
