@@ -66,3 +66,9 @@ def test_tutorial_9_data_parallel():
     mod = _imp("09_data_parallel")
     mse = mod.main(epochs=40, batch_size=512)
     assert mse < 0.9
+
+
+def test_tutorial_6_regularization():
+    mod = _imp("06_regularization")
+    mse = mod.run_one("l2_reg", 1e-5, epochs=20)
+    assert mse < 2.0

@@ -196,3 +196,22 @@ def test_validation_data_logging():
                         validation_data=(inputs[1500:], targets[1500:]))
     assert len(trainer.history["val_loss"]) == 5
     assert all(np.isfinite(v) for v in trainer.history["val_loss"])
+
+
+def test_grouped_trainer_fused_mode():
+    """fused=True (interpret on CPU) trains equivalently to fused=False."""
+    _, _, tw = make_data()
+    t, x, u = tw.as_grouped()
+    cfg_s = {"input_dim": 1, "output_dim": 1, "units": 16, "nlayers": 1,
+             "activation": "sine", "use_resblock": False, "omega_0": 5.0,
+             "connectivity": "full", "weight_init_factor": 0.01}
+    model = nif_tpu.NIFMultiScale(cfg_s, CFG_P)
+    results = {}
+    for fused in [False, True]:
+        trainer = GroupedTrainer(model, optax.adam(1e-3), fused=fused, seed=3)
+        state = trainer.init(jax.random.key(0))
+        state = trainer.fit(state, t, x, u, epochs=5, group_batch=20,
+                            point_batch=100)
+        results[fused] = trainer.history["loss"]
+    np.testing.assert_allclose(results[True], results[False], rtol=1e-4,
+                               atol=1e-6)
