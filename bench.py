@@ -86,7 +86,7 @@ def main():
     rng = np.random.default_rng(0)
 
     # ---------------- grouped layout + fused kernel (TPU-first path) -------
-    G, P = 32, 8192  # 262,144 points per step
+    G, P = 32, 32768  # 1,048,576 points per step
     t = jnp.asarray(rng.standard_normal((G, 4)), jnp.float32)
     x = jnp.asarray(rng.standard_normal((G, P, 3)), jnp.float32)
     u = jnp.asarray(rng.standard_normal((G, P, 1)), jnp.float32)
