@@ -155,3 +155,43 @@ class TestInitDistributions:
         np.testing.assert_allclose(s[10:60], np.sqrt(6 / 16) / 30)
         np.testing.assert_allclose(s[60:80], np.sqrt(6 / 32))
         np.testing.assert_allclose(s[80:], 1 / 16)
+
+
+class TestRegularizationGrouped:
+    def test_act_reg_with_t_rows(self):
+        import nif_tpu
+        from nif_tpu.config import ParameterNetConfig, ShapeNetConfig
+
+        m = nif_tpu.NIF(
+            ShapeNetConfig(1, 1, 8, 1, "tanh"),
+            ParameterNetConfig(1, 2, 8, 1, "tanh", act_l2_reg=0.1),
+        )
+        params = m.init(jax.random.key(0))
+        t = jnp.ones((4, 1))
+        wb = m.p_to_w(params, t)
+        expected = 0.1 * float(jnp.sum(jnp.square(wb)))
+        assert float(m.regularization_loss(params, t=t)) == pytest.approx(
+            expected, rel=1e-5
+        )
+
+    def test_mse_value_and_grad_with_reg(self):
+        import nif_tpu
+        from nif_tpu.config import ParameterNetConfig, ShapeNetConfig
+
+        m = nif_tpu.NIF(
+            ShapeNetConfig(1, 1, 8, 1, "tanh"),
+            ParameterNetConfig(1, 2, 8, 1, "tanh", l2_reg=1e-3),
+        )
+        params = m.init(jax.random.key(0))
+        rng = np.random.default_rng(0)
+        t = jnp.asarray(rng.standard_normal((2, 1)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((2, 16, 1)), jnp.float32)
+        u = jnp.asarray(rng.standard_normal((2, 16, 1)), jnp.float32)
+        l, g = m.mse_value_and_grad(params, t, x, u, fused=False)
+        # reg term present: loss > bare mse
+        pred = m.apply_grouped(params, t, x, fused=False)
+        bare = float(jnp.mean((pred - u) ** 2))
+        assert float(l) > bare
+        assert all(
+            np.all(np.isfinite(le)) for le in jax.tree_util.tree_leaves(g)
+        )
