@@ -175,7 +175,6 @@ def _forward_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str, save: bool):
     ``ws``/``bs`` are the per-layer 2-D weight matrices / 1-D biases in
     chain order (resblock layers contribute two consecutive entries).
     """
-    om = jnp.float32(cfg.omega_0)
     l = cfg.nlayers
     ins: List[Any] = []
     zs: List[Any] = []
@@ -186,8 +185,10 @@ def _forward_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str, save: bool):
         return u.astype(cdt)
 
     def layer(u_in, w, b, first=False):
+        # NOTE: sine-chain weights arrive PRE-SCALED by omega_0 (folded in
+        # XLA outside the kernel), so no per-element scale runs on the VPU.
         mm = _first_matmul if first else _matmul
-        z = om * mm(u_in if first else lift(u_in), w) + b.astype(jnp.float32)
+        z = mm(u_in if first else lift(u_in), w) + b.astype(jnp.float32)
         if save:
             ins.append(u_in)
             zs.append(z)
@@ -251,6 +252,23 @@ def _split_chain(parts: Dict[str, Any]):
     ws = [parts["w_first"], *parts["w_hidden"], parts["w_last"]]
     bs = [parts["b_first"], *parts["b_hidden"], parts["b_last"]]
     return ws, bs
+
+
+def _prescale(ws, cfg: ShapeNetConfig, variant: str):
+    """Fold omega_0 into the sine-fed weight matrices (all but the linear
+    last layer) so the kernels never run a per-element scale."""
+    if variant != "siren":
+        return ws
+    om = cfg.omega_0
+    return [w * om for w in ws[:-1]] + [ws[-1]]
+
+
+def _unscale_grads(dws, cfg: ShapeNetConfig, variant: str):
+    """Chain rule back to the unscaled weights: dL/dW = omega * dL/dW'."""
+    if variant != "siren":
+        return dws
+    om = cfg.omega_0
+    return [d * om for d in dws[:-1]] + [dws[-1]]
 
 
 def _fwd_pallas(ws, bs, x, cfg: ShapeNetConfig, variant: str, interpret: bool):
@@ -317,7 +335,6 @@ def _backward_chain(go, ws, ins, zs, cfg: ShapeNetConfig, variant: str, cdt):
     Uses the SAME activation derivative as the forward chain (polynomial
     for bf16 compute), so gradients are exact for the computed function.
     """
-    om = jnp.float32(cfg.omega_0)
     l = cfg.nlayers
     n_w = len(ws)
     _, cos_fn = _trig_for(cdt)
@@ -343,27 +360,27 @@ def _backward_chain(go, ws, ins, zs, cfg: ShapeNetConfig, variant: str, cdt):
                 z1, z2 = zs[1 + 2 * i], zs[2 + 2 * i]
                 w1, w2 = ws[1 + 2 * i], ws[2 + 2 * i]
                 dz2 = 0.5 * du * cos_fn(z2)
-                dws[2 + 2 * i] = om * _mmT_tn(lift(h), lift(dz2))
+                dws[2 + 2 * i] = _mmT_tn(lift(h), lift(dz2))
                 dbs[2 + 2 * i] = jnp.sum(dz2, axis=0)
-                dh = om * _mmT_nt(lift(dz2), w2).astype(jnp.float32)
+                dh = _mmT_nt(lift(dz2), w2).astype(jnp.float32)
                 dz1 = dh * cos_fn(z1)
-                dws[1 + 2 * i] = om * _mmT_tn(lift(u_in), lift(dz1))
+                dws[1 + 2 * i] = _mmT_tn(lift(u_in), lift(dz1))
                 dbs[1 + 2 * i] = jnp.sum(dz1, axis=0)
-                du = 0.5 * du + om * _mmT_nt(lift(dz1), w1).astype(jnp.float32)
+                du = 0.5 * du + _mmT_nt(lift(dz1), w1).astype(jnp.float32)
             dz0 = du * cos_fn(zs[0])
-            dws[0] = om * _mmT_tn(ins[0], lift(dz0))
+            dws[0] = _mmT_tn(ins[0], lift(dz0))
             dbs[0] = jnp.sum(dz0, axis=0)
-            dx = om * _mmT_nt(lift(dz0), ws[0])
+            dx = _mmT_nt(lift(dz0), ws[0])
         else:
             for i in range(l - 1, -1, -1):
                 dz = du * cos_fn(zs[1 + i])
-                dws[1 + i] = om * _mmT_tn(lift(ins[1 + i]), lift(dz))
+                dws[1 + i] = _mmT_tn(lift(ins[1 + i]), lift(dz))
                 dbs[1 + i] = jnp.sum(dz, axis=0)
-                du = om * _mmT_nt(lift(dz), ws[1 + i]).astype(jnp.float32)
+                du = _mmT_nt(lift(dz), ws[1 + i]).astype(jnp.float32)
             dz0 = du * cos_fn(zs[0])
-            dws[0] = om * _mmT_tn(ins[0], lift(dz0))
+            dws[0] = _mmT_tn(ins[0], lift(dz0))
             dbs[0] = jnp.sum(dz0, axis=0)
-            dx = om * _mmT_nt(lift(dz0), ws[0])
+            dx = _mmT_nt(lift(dz0), ws[0])
     else:
         for i in range(l - 1, -1, -1):
             dz = du * dact(zs[1 + i])
@@ -555,6 +572,7 @@ def shapenet_mse_grads(
     interpret = _resolve_interpret(interpret)
     parts = unpack_shapenet_weights(wb, cfg)
     ws, bs = _split_chain(parts)
+    ws = _prescale(ws, cfg, variant)
     bs3 = [b[:, None, :] for b in bs]
     TP = _pick_tile(P)
     n_w = len(ws)
@@ -600,7 +618,7 @@ def shapenet_mse_grads(
     )(*args)
     n_elem = G * P * so
     loss = outs[0][0, 0] / n_elem
-    dws = outs[1 : 1 + n_w]
+    dws = _unscale_grads(list(outs[1 : 1 + n_w]), cfg, variant)
     dbs = outs[1 + n_w :]
     flat = [d.reshape(G, -1) for d in dws] + [d.reshape(G, -1) for d in dbs]
     d_wb = (jnp.concatenate(flat, axis=-1) / n_elem).astype(wb.dtype)
@@ -636,7 +654,10 @@ def shapenet_grouped_fused(
         return shapenet_grouped(wb, x, cfg, variant)
     parts = unpack_shapenet_weights(wb, cfg)
     ws, bs = _split_chain(parts)
-    return _fwd_pallas(ws, bs, x, cfg, variant, _resolve_interpret(interpret))
+    return _fwd_pallas(
+        _prescale(ws, cfg, variant), bs, x, cfg, variant,
+        _resolve_interpret(interpret),
+    )
 
 
 def _fused_fwd(wb, x, cfg, variant, interpret):
@@ -653,8 +674,10 @@ def _fused_bwd(cfg, variant, interpret, resid, g_out):
     parts = unpack_shapenet_weights(wb, cfg)
     ws, bs = _split_chain(parts)
     dws, dbs, dx = _bwd_pallas(
-        ws, bs, x, g_out, cfg, variant, _resolve_interpret(interpret)
+        _prescale(ws, cfg, variant), bs, x, g_out, cfg, variant,
+        _resolve_interpret(interpret),
     )
+    dws = _unscale_grads(dws, cfg, variant)
     # Re-flatten the segment grads into the wb layout:
     # [W_first | W_hidden... | W_last | b_first | b_hidden... | b_last].
     G = wb.shape[0]
