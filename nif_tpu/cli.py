@@ -54,7 +54,6 @@ def _load_pointwise(args, cfg):
 
 def _cmd_train(args):
     import jax
-    import optax
 
     import nif_tpu
     from nif_tpu.optimizers import LBFGS, get_optimizer

@@ -14,7 +14,7 @@ dense, matching ``get_prunable_weights`` returning ``[self.w]``.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ dequantized weights (XLA folds the rescale into the matmul).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Here:
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
