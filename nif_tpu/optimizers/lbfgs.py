@@ -34,6 +34,7 @@ def lbfgs_minimize(
     learning_rate: Optional[float] = None,
     opt_state=None,
     return_state: bool = False,
+    display_every: int = 0,
 ):
     """Minimize ``loss_fn(params)`` with L-BFGS; returns (params, losses).
 
@@ -69,6 +70,16 @@ def lbfgs_minimize(
                 grad, opt_state, params, value=value, grad=grad, value_fn=loss_fn
             )
             new_params = optax.apply_updates(params, updates)
+            if display_every:
+                # reference TFPLBFGS prints every display_epoch iterations
+                # (nif/optimizers/lbfgs.py:79-80)
+                jax.lax.cond(
+                    (i + 1) % display_every == 0,
+                    lambda: jax.debug.print(
+                        "L-BFGS iter {i}  loss {v}", i=i + 1, v=value
+                    ),
+                    lambda: None,
+                )
             losses = losses.at[i].set(value.astype(jnp.float32))
             gnorm = optax.tree.norm(grad)
             done = jnp.logical_or(
@@ -114,8 +125,10 @@ class LBFGS:
         targets=None,
         sample_weight=None,
         reg: bool = True,
+        display_epoch: int = 0,
     ):
         self.model = model
+        self.display_epoch = display_epoch
         self.inputs = jnp.asarray(inputs)
         self.targets = jnp.asarray(targets)
         self.sample_weight = None if sample_weight is None else jnp.asarray(sample_weight)
@@ -151,7 +164,8 @@ class LBFGS:
         for _ in range(rounds):
             params, losses, state = lbfgs_minimize(
                 self._objective, params, max_iter=max_iter,
-                opt_state=state if resume else None, return_state=True, **kw
+                opt_state=state if resume else None, return_state=True,
+                display_every=self.display_epoch, **kw
             )
             self._history.extend(losses.tolist())
         if resume:

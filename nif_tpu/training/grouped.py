@@ -12,6 +12,7 @@ grouped analog of point-wise minibatch shuffling).
 """
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -51,7 +52,7 @@ class GroupedTrainer:
         self._rng = np.random.default_rng(seed)
         self.history: Dict[str, List[float]] = {"epoch": [], "loss": []}
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, t, x, u, w=None):
             loss, grads = model.mse_value_and_grad(
                 state.params, t, x, u, weight=w, fused=fused, use_reg=use_reg

@@ -13,6 +13,7 @@ README.md:30-37 and the tutorials) with an explicit optax loop:
 """
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -67,7 +68,9 @@ def make_train_step(model, tx: optax.GradientTransformation, use_reg: bool = Tru
     """Build a jitted (state, batch) -> (state, loss) step."""
     loss_fn = make_loss_fn(model, use_reg)
 
-    @jax.jit
+    # donate the state: params/opt_state update in place, halving the
+    # step's HBM allocation traffic
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, inputs, targets, weight=None):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, inputs, targets, weight)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
