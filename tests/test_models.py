@@ -253,3 +253,26 @@ class TestLinearFusedTrunk:
             np.testing.assert_allclose(
                 np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-5
             )
+
+
+class TestWeightVectorRoundTrip:
+    """unpack -> flatten == identity, for every chain shape (the layout
+    contract between XLA and Pallas paths)."""
+
+    @pytest.mark.parametrize("resblock", [False, True])
+    def test_roundtrip(self, resblock):
+        from nif_tpu.config import shapenet_param_count
+        from nif_tpu.ops import unpack_shapenet_weights
+
+        cfg = ShapeNetConfig(input_dim=2, output_dim=3, units=8, nlayers=2,
+                             activation="sine", use_resblock=resblock)
+        po = shapenet_param_count(cfg, 0)
+        wb = jnp.arange(4 * po, dtype=jnp.float32).reshape(4, po)
+        parts = unpack_shapenet_weights(wb, cfg)
+        ws = [parts["w_first"], *parts["w_hidden"], parts["w_last"]]
+        bs = [parts["b_first"], *parts["b_hidden"], parts["b_last"]]
+        flat = jnp.concatenate(
+            [w.reshape(4, -1) for w in ws] + [b.reshape(4, -1) for b in bs],
+            axis=-1,
+        )
+        np.testing.assert_array_equal(np.asarray(flat), np.asarray(wb))
