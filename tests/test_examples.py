@@ -72,3 +72,9 @@ def test_tutorial_6_regularization():
     mod = _imp("06_regularization")
     mse = mod.run_one("l2_reg", 1e-5, epochs=20)
     assert mse < 2.0
+
+
+def test_tutorial_10_serving(tmp_path):
+    mod = _imp("10_serving")
+    rl2 = mod.main(epochs=30, out_dir=str(tmp_path))
+    assert rl2 < 1.5
