@@ -27,7 +27,7 @@ import numpy as np
 
 from .nifio import gather_rows, permute_rows
 
-__all__ = ["ShardedDataset"]
+__all__ = ["ShardedDataset", "GroupedDataset"]
 
 
 class ShardedDataset:
@@ -197,3 +197,109 @@ class ShardedDataset:
         return int(self.meta["n_total"]) if hasattr(self, "meta") else sum(
             np.load(f, mmap_mode="r").shape[0] for f in self.files
         )
+
+
+class GroupedDataset:
+    """Snapshot-structured streaming for the grouped fast path.
+
+    Stores whole snapshots — ``t [G, pi]``, ``x [G, P, si]``, ``u [G, P, so]``
+    (optional ``w [G, P]``) — as npz shards of ``groups_per_file`` snapshots,
+    and streams (group_batch, point_batch) training batches with background
+    prefetch. This is the large-scale companion of
+    ``PointWiseData.as_grouped()``: the reference's streaming story is
+    point-wise only (nif/data/tfr_dataset.py); grouped streaming is what
+    feeds the fused train kernel at scale.
+    """
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self.files: Sequence[str] = ()
+        if path is not None:
+            self.open(path)
+
+    @staticmethod
+    def create_from_arrays(
+        t: np.ndarray,
+        x: np.ndarray,
+        u: np.ndarray,
+        out_path: str,
+        groups_per_file: int = 16,
+        weight: Optional[np.ndarray] = None,
+        prefix: str = "snap",
+    ) -> None:
+        os.makedirs(out_path, exist_ok=True)
+        G = t.shape[0]
+        n_files = int(np.ceil(G / groups_per_file))
+        for i in range(n_files):
+            sl = slice(i * groups_per_file, (i + 1) * groups_per_file)
+            payload = {"t": t[sl], "x": x[sl], "u": u[sl]}
+            if weight is not None:
+                payload["w"] = weight[sl]
+            np.savez(os.path.join(out_path, f"{prefix}_{i}.npz"), **payload)
+        with open(os.path.join(out_path, "meta.json"), "w") as f:
+            json.dump(
+                {"n_groups": int(G), "points_per_group": int(x.shape[1]),
+                 "groups_per_file": groups_per_file, "n_files": n_files,
+                 "weighted": weight is not None},
+                f,
+            )
+
+    def open(self, path: str, host_id: int = 0, num_hosts: int = 1):
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        files = sorted(
+            (os.path.join(path, fn) for fn in os.listdir(path)
+             if fn.endswith(".npz")),
+            key=lambda p: int(os.path.basename(p).rsplit("_", 1)[1][:-4]),
+        )
+        self.path = path
+        self.files = files[host_id::num_hosts]
+        return self
+
+    def iter_batches(
+        self,
+        group_batch: int,
+        point_batch: Optional[int] = None,
+        epochs: int = 1,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        """Yield ``(epoch, t, x, u, w)`` with a fresh point subsample per
+        batch. Global epoch accounting, background shard prefetch."""
+        if not self.files:
+            raise ValueError("no shards opened")
+        rng = np.random.default_rng(seed)
+        P = self.meta["points_per_group"]
+        point_batch = min(point_batch or P, P)
+
+        def produce(q):
+            try:
+                for epoch in range(epochs):
+                    for fi in rng.permutation(len(self.files)):
+                        with np.load(self.files[fi]) as z:
+                            payload = {k: z[k] for k in z.files}
+                        q.put((epoch, payload))
+            finally:
+                q.put(None)
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+        threading.Thread(target=produce, args=(q,), daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            epoch, payload = item
+            t, x, u = payload["t"], payload["x"], payload["u"]
+            w = payload.get("w")
+            g = t.shape[0]
+            order = rng.permutation(g)
+            for s in range(0, g - group_batch + 1, group_batch):
+                gsel = order[s : s + group_batch]
+                psel = rng.choice(P, size=point_batch, replace=False)
+                yield (
+                    epoch,
+                    t[gsel],
+                    x[gsel][:, psel],
+                    u[gsel][:, psel],
+                    None if w is None else w[gsel][:, psel],
+                )

@@ -159,3 +159,44 @@ class TestShardedDataset:
         b = ShardedDataset.from_dir(str(tmp_path / "s4"), host_id=1, num_hosts=2)
         assert len(a.files) + len(b.files) == 4
         assert set(a.files).isdisjoint(b.files)
+
+
+class TestGroupedDataset:
+    def test_create_and_stream(self, tmp_path):
+        from nif_tpu.data import GroupedDataset
+
+        rng = np.random.default_rng(0)
+        G, P = 24, 64
+        t = rng.standard_normal((G, 1)).astype(np.float32)
+        x = rng.standard_normal((G, P, 2)).astype(np.float32)
+        u = rng.standard_normal((G, P, 1)).astype(np.float32)
+        GroupedDataset.create_from_arrays(t, x, u, str(tmp_path / "g"),
+                                          groups_per_file=8)
+        ds = GroupedDataset(str(tmp_path / "g"))
+        assert len(ds.files) == 3
+        n_batches, epochs_seen = 0, set()
+        for epoch, bt, bx, bu, bw in ds.iter_batches(
+            group_batch=4, point_batch=32, epochs=2, seed=1
+        ):
+            assert bt.shape == (4, 1) and bx.shape == (4, 32, 2)
+            assert bu.shape == (4, 32, 1) and bw is None
+            epochs_seen.add(epoch)
+            n_batches += 1
+        assert n_batches == 2 * 3 * 2  # epochs x files x (8//4)
+        assert epochs_seen == {0, 1}
+
+    def test_weighted_and_striped(self, tmp_path):
+        from nif_tpu.data import GroupedDataset
+
+        rng = np.random.default_rng(1)
+        t = rng.standard_normal((8, 1)).astype(np.float32)
+        x = rng.standard_normal((8, 16, 1)).astype(np.float32)
+        u = rng.standard_normal((8, 16, 1)).astype(np.float32)
+        w = rng.uniform(0.5, 1.5, (8, 16)).astype(np.float32)
+        GroupedDataset.create_from_arrays(t, x, u, str(tmp_path / "gw"),
+                                          groups_per_file=4, weight=w)
+        a = GroupedDataset().open(str(tmp_path / "gw"), host_id=0, num_hosts=2)
+        b = GroupedDataset().open(str(tmp_path / "gw"), host_id=1, num_hosts=2)
+        assert len(a.files) + len(b.files) == 2
+        _, _, _, _, bw = next(iter(a.iter_batches(group_batch=4)))
+        assert bw is not None and bw.shape == (4, 16)
