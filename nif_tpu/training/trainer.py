@@ -180,7 +180,7 @@ class Trainer:
         validation_every: int = 1,
     ) -> TrainState:
         n = inputs.shape[0]
-        batch_size = batch_size or n
+        batch_size = min(batch_size or n, n)
         inputs = np.asarray(inputs)
         targets = np.asarray(targets)
         if sample_weight is not None:

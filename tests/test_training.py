@@ -215,3 +215,51 @@ def test_grouped_trainer_fused_mode():
         results[fused] = trainer.history["loss"]
     np.testing.assert_allclose(results[True], results[False], rtol=1e-4,
                                atol=1e-6)
+
+
+def test_batch_size_larger_than_data():
+    inputs, targets, _ = make_data()
+    model = nif_tpu.NIF(CFG_S, CFG_P)
+    trainer = Trainer(model, optax.adam(1e-3))
+    state = trainer.init(jax.random.key(0))
+    state = trainer.fit(state, inputs[:100], targets[:100], epochs=2,
+                        batch_size=10_000)
+    assert np.isfinite(trainer.history["loss"][-1])
+
+
+def test_tensorboard_callback_writes(tmp_path):
+    from nif_tpu.training import TensorBoardCallback
+
+    inputs, targets, _ = make_data()
+    model = nif_tpu.NIF(CFG_S, CFG_P)
+    trainer = Trainer(model, optax.adam(1e-3))
+    state = trainer.init(jax.random.key(0))
+    logdir = str(tmp_path / "tb")
+    state = trainer.fit(state, inputs[:200], targets[:200], epochs=2,
+                        batch_size=100,
+                        callbacks=[TensorBoardCallback(logdir)])
+    assert len(os.listdir(logdir)) > 0
+
+
+def test_cli_data_parallel(tmp_path):
+    import json as _json
+    from nif_tpu.cli import main as cli_main
+
+    cfg = {
+        "cfg_shape_net": {"input_dim": 1, "output_dim": 1, "units": 8,
+                          "nlayers": 1, "activation": "tanh"},
+        "cfg_parameter_net": {"input_dim": 1, "latent_dim": 1, "units": 8,
+                              "nlayers": 1, "activation": "tanh"},
+        "mixed_policy": "float32",
+    }
+    (tmp_path / "config.json").write_text(_json.dumps(cfg))
+    rng = np.random.default_rng(0)
+    data = np.stack([rng.uniform(0, 1, 320), rng.uniform(0, 1, 320),
+                     rng.uniform(-1, 1, 320)], -1).astype(np.float32)
+    np.savez(tmp_path / "d.npz", data=data)
+    mse = cli_main([
+        "train", "--config", str(tmp_path / "config.json"),
+        "--data", str(tmp_path / "d.npz"), "--epochs", "3",
+        "--batch-size", "320", "--data-parallel",
+    ])
+    assert np.isfinite(mse)
