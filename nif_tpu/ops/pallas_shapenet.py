@@ -118,15 +118,28 @@ def fused_supported(cfg: ShapeNetConfig, variant: str, P: int) -> bool:
             _act_pair(cfg.activation)
         except ValueError:
             return False
-    if _pick_tile(P) is None:
+    if _pick_tile(P, cfg) is None:
         return False
     # Tiny widths gain nothing and hit Mosaic tiling corner cases.
     return cfg.units >= 8
 
 
-def _pick_tile(P: int):
+# VMEM budget for the residuals held live by the backward/train kernels
+# (v5e/v5p have ~16 MB/core; leave headroom for weights, temporaries, and
+# the double-buffered input tiles).
+_VMEM_RESIDUAL_BUDGET = 8 * 1024 * 1024
+
+
+def _pick_tile(P: int, cfg: ShapeNetConfig = None):
+    """Largest point-tile that divides P and keeps the backward kernel's
+    simultaneous residuals (layer inputs + pre-activations, f32) in VMEM."""
+    cap = 2048
+    if cfg is not None:
+        n_sine = 1 + (2 if cfg.use_resblock else 1) * cfg.nlayers
+        bytes_per_row = 2 * n_sine * cfg.units * 4  # ins + zs, f32
+        cap = max(min(cap, _VMEM_RESIDUAL_BUDGET // max(bytes_per_row, 1)), 8)
     for tp in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if P % tp == 0:
+        if tp <= cap and P % tp == 0:
             return tp
     return None
 
@@ -241,12 +254,6 @@ def _fwd_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, *refs):
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _chain_weight_shapes(cfg: ShapeNetConfig) -> List[Tuple[int, int]]:
-    si, so, n, l = cfg.input_dim, cfg.output_dim, cfg.units, cfg.nlayers
-    m = 2 * l if cfg.use_resblock else l
-    return [(si, n)] + [(n, n)] * m + [(n, so)]
-
-
 def _split_chain(parts: Dict[str, Any]):
     """Flattened per-layer (weights, biases) lists from the unpack dict."""
     ws = [parts["w_first"], *parts["w_hidden"], parts["w_last"]]
@@ -274,7 +281,7 @@ def _unscale_grads(dws, cfg: ShapeNetConfig, variant: str):
 def _fwd_pallas(ws, bs, x, cfg: ShapeNetConfig, variant: str, interpret: bool):
     G, P, si = x.shape
     so = cfg.output_dim
-    TP = _pick_tile(P)
+    TP = _pick_tile(P, cfg)
     n_w = len(ws)
     grid = (G, P // TP)
 
@@ -441,7 +448,7 @@ def _bwd_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, *refs):
 def _bwd_pallas(ws, bs, x, g_out, cfg, variant, interpret):
     G, P, si = x.shape
     so = cfg.output_dim
-    TP = _pick_tile(P)
+    TP = _pick_tile(P, cfg)
     n_w = len(ws)
     grid = (G, P // TP)
 
@@ -574,7 +581,7 @@ def shapenet_mse_grads(
     ws, bs = _split_chain(parts)
     ws = _prescale(ws, cfg, variant)
     bs3 = [b[:, None, :] for b in bs]
-    TP = _pick_tile(P)
+    TP = _pick_tile(P, cfg)
     n_w = len(ws)
     grid = (G, P // TP)
     has_w = weight is not None

@@ -195,3 +195,24 @@ class TestRegularizationGrouped:
         assert all(
             np.all(np.isfinite(le)) for le in jax.tree_util.tree_leaves(g)
         )
+
+
+class TestRoofline:
+    def test_flops_per_point(self):
+        from nif_tpu.utils.roofline import flops_per_point
+
+        cfg = ShapeNetConfig(3, 1, 128, 2, "sine")
+        fwd = 2 * (3 * 128 + 2 * 128 * 128 + 128)
+        assert flops_per_point(cfg, training=False) == fwd
+        assert flops_per_point(cfg, training=True) == 3 * fwd
+
+    def test_step_report(self):
+        from nif_tpu.utils.roofline import step_report
+
+        cfg_s = ShapeNetConfig(3, 1, 128, 2, "sine")
+        cfg_p = ParameterNetConfig(4, 128, 128, 2, "swish")
+        r = step_report(cfg_s, cfg_p, n_groups=32, points_per_group=32768,
+                        step_seconds=4.3e-3, peak_tflops=197.0)
+        assert r["points_per_sec"] > 2e8
+        assert 0 < r["mxu_utilization"] < 1
+        assert 0 < r["pnet_fraction"] < 0.2
