@@ -78,3 +78,12 @@ def test_tutorial_10_serving(tmp_path):
     mod = _imp("10_serving")
     rl2 = mod.main(epochs=30, out_dir=str(tmp_path))
     assert rl2 < 1.5
+
+
+def test_tutorial_11_rom_workflow():
+    mod = _imp("11_rom_workflow")
+    err = mod.main(epochs=150)
+    assert np.isfinite(err)
+
+
+import numpy as np  # noqa: E402  (used by test above)
