@@ -70,17 +70,29 @@ class CSVLogger(Callback):
 
 class CheckpointCallback(Callback):
     """Saves an orbax checkpoint every ``every`` epochs
-    (reference: ``model.save_weights("ckpt-{epoch}/ckpt")``, README.md:186)."""
+    (reference: ``model.save_weights("ckpt-{epoch}/ckpt")``, README.md:186).
 
-    def __init__(self, directory: str, every: int = 1000, keep: Optional[int] = None):
+    By default saves the FULL train state (params + optimizer moments +
+    step) so ``Trainer.init_or_restore`` resumes exactly; pass
+    ``full_state=False`` for a params-only weights dump."""
+
+    def __init__(self, directory: str, every: int = 1000,
+                 keep: Optional[int] = None, full_state: bool = True):
         from .checkpoint import Checkpointer
 
         self.ckpt = Checkpointer(directory, keep=keep)
         self.every = every
+        self.full_state = full_state
+
+    def _payload(self, state, epoch):
+        if not self.full_state:
+            return state.params
+        return {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}
 
     def on_epoch_end(self, trainer, state, epoch, logs):
         if epoch % self.every == 0:
-            self.ckpt.save(epoch, state.params)
+            self.ckpt.save(epoch, self._payload(state, epoch))
 
     def on_train_end(self, trainer, state):
         self.ckpt.wait()

@@ -146,7 +146,11 @@ class Trainer:
     def init_or_restore(self, key, ckpt_dir: str) -> TrainState:
         """Resumable init: restore the latest checkpoint in ``ckpt_dir`` if
         one exists (failure-recovery path — reference README.md:186-196 is
-        manual re-run + load_weights), else fresh init."""
+        manual re-run + load_weights), else fresh init.
+
+        Full-state checkpoints (params + optimizer moments + step) resume
+        exactly; params-only checkpoints (e.g. a reference-style weights
+        dump) restore with a fresh optimizer."""
         from .checkpoint import Checkpointer
 
         state = self.init(key)
@@ -154,8 +158,19 @@ class Trainer:
         step = ckpt.latest_step()
         if step is None:
             return state
-        params = ckpt.restore(step, template=state.params)
-        return TrainState(params, self.tx.init(params), step)
+        try:
+            full = ckpt.restore(
+                step,
+                template={
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                },
+            )
+            return TrainState(full["params"], full["opt_state"], full["step"])
+        except Exception:
+            params = ckpt.restore(step, template=state.params)
+            return TrainState(params, self.tx.init(params), step)
 
     def _put_batch(self, *arrays):
         if self.mesh is None:

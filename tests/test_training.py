@@ -96,10 +96,11 @@ def test_checkpoint_resume(tmp_path):
         state, inputs, targets, epochs=4, batch_size=1000,
         callbacks=[CheckpointCallback(ckpt_dir, every=2)],
     )
-    # fresh trainer resumes from latest step
+    # fresh trainer resumes from latest checkpoint (saved at epoch 2,
+    # after 3 epochs x 2 batches of training -> optimizer step 6)
     trainer2 = Trainer(model, optax.adam(2e-3))
     resumed = trainer2.init_or_restore(jax.random.key(99), ckpt_dir)
-    assert resumed.step == 2  # saved at epochs 0 and 2 -> latest step 2
+    assert int(resumed.step) == 6
     for a, b in zip(
         jax.tree_util.tree_leaves(resumed.params),
         jax.tree_util.tree_leaves(state.params),
@@ -263,3 +264,34 @@ def test_cli_data_parallel(tmp_path):
         "--batch-size", "320", "--data-parallel",
     ])
     assert np.isfinite(mse)
+
+
+def test_full_state_resume_preserves_moments(tmp_path):
+    """Resuming restores optimizer moments: the resumed trajectory must
+    exactly match uninterrupted training (same data order)."""
+    inputs, targets, _ = make_data()
+    model = nif_tpu.NIF(CFG_S, CFG_P)
+    ckpt_dir = str(tmp_path / "full")
+
+    # uninterrupted: 6 epochs, no shuffle for determinism
+    tr_a = Trainer(model, optax.adam(2e-3))
+    st_a = tr_a.init(jax.random.key(0))
+    st_a = tr_a.fit(st_a, inputs, targets, epochs=6, batch_size=1000,
+                    shuffle=False)
+
+    # interrupted at 3: checkpoint, new process resumes
+    tr_b = Trainer(model, optax.adam(2e-3))
+    st_b = tr_b.init(jax.random.key(0))
+    st_b = tr_b.fit(st_b, inputs, targets, epochs=3, batch_size=1000,
+                    shuffle=False,
+                    callbacks=[CheckpointCallback(ckpt_dir, every=1)])
+    tr_c = Trainer(model, optax.adam(2e-3))
+    st_c = tr_c.init_or_restore(jax.random.key(123), ckpt_dir)
+    assert st_c.step == st_b.step  # full state incl step restored
+    st_c = tr_c.fit(st_c, inputs, targets, epochs=3, batch_size=1000,
+                    shuffle=False)
+
+    for a, b in zip(jax.tree_util.tree_leaves(st_a.params),
+                    jax.tree_util.tree_leaves(st_c.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
