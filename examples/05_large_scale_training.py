@@ -65,6 +65,43 @@ def main(epochs=3, batch_size=2048, n_points=200_000, seed=0, workdir=None):
     return float(np.mean(losses))
 
 
+
+def grouped_streaming_demo(workdir=None, epochs=2):
+    """Part 2 — the grouped fast path at scale: snapshot-structured shards
+    feeding the fused train kernel (GroupedDataset + mse_value_and_grad)."""
+    import tempfile
+
+    from nif_tpu.data import GroupedDataset
+    from nif_tpu.training import GroupedTrainer
+
+    workdir = workdir or tempfile.mkdtemp(prefix="nif_grouped_")
+    rng = np.random.default_rng(0)
+    G, P = 64, 4096
+    t = rng.uniform(0, 1, (G, 1)).astype(np.float32)
+    x = rng.uniform(0, 1, (G, P, 1)).astype(np.float32)
+    u = np.sin(2 * np.pi * (x - t[:, None, :])).astype(np.float32)
+    GroupedDataset.create_from_arrays(t, x, u, os.path.join(workdir, "snaps"),
+                                      groups_per_file=16)
+
+    model = nif_tpu.NIF(
+        {"input_dim": 1, "output_dim": 1, "units": 30, "nlayers": 2,
+         "activation": "swish"},
+        {"input_dim": 1, "latent_dim": 1, "units": 30, "nlayers": 2,
+         "activation": "swish"},
+    )
+    trainer = GroupedTrainer(model, optax.adam(1e-3))
+    state = trainer.init(jax.random.key(0))
+    ds = GroupedDataset(os.path.join(workdir, "snaps"))
+    losses = []
+    for epoch, bt, bx, bu, _ in ds.iter_batches(group_batch=16,
+                                                point_batch=1024,
+                                                epochs=epochs):
+        state, loss = trainer.step(state, bt, bx, bu)
+        losses.append(float(loss))
+    print(f"grouped streaming: {len(losses)} steps, "
+          f"loss {losses[0]:.3e} -> {losses[-1]:.3e}")
+    return losses[-1]
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=3)

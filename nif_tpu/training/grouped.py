@@ -63,6 +63,12 @@ class GroupedTrainer:
 
         self._step = step
 
+    def step(self, state: TrainState, t, x, u, w=None):
+        """One jitted training step on a (t, x, u[, w]) group batch —
+        for custom loops (e.g. streaming from GroupedDataset)."""
+        return self._step(state, *self._put(np.asarray(t), np.asarray(x),
+                                            np.asarray(u), w))
+
     def init(self, key) -> TrainState:
         params = self.model.init(key)
         if self.mesh is not None:

@@ -87,3 +87,9 @@ def test_tutorial_11_rom_workflow():
 
 
 import numpy as np  # noqa: E402  (used by test above)
+
+
+def test_tutorial_5_grouped_streaming(tmp_path):
+    mod = _imp("05_large_scale_training")
+    final = mod.grouped_streaming_demo(workdir=str(tmp_path), epochs=2)
+    assert np.isfinite(final)
