@@ -49,3 +49,16 @@ def test_tutorial1_full_convergence():
     mse, rl2 = _train(epochs=5000)
     assert mse < 5e-4, f"MSE {mse}"
     assert rl2 < 3e-2, f"rel-L2 {rl2}"
+
+
+@pytest.mark.skipif(not SLOW, reason="set NIF_SLOW=1 for full-budget runs")
+def test_tutorial2_multiscale_full_convergence():
+    """Multi-scale SIREN on the high-frequency wave: MSE < 5e-4 with the
+    tuned cosine schedule (swept: flat 1e-4 -> 0.23; cosine 1e-3 -> 6e-5)."""
+    import sys, os as _os
+    sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "examples"))
+    import importlib
+
+    mod = importlib.import_module("02_multi_scale_nif")
+    mse = mod.main(epochs=4000, batch_size=512)
+    assert mse < 5e-4, f"MSE {mse}"
