@@ -52,11 +52,46 @@ class GroupedTrainer:
         self._rng = np.random.default_rng(seed)
         self.history: Dict[str, List[float]] = {"epoch": [], "loss": []}
 
+        def value_and_grad(params, t, x, u, w):
+            if mesh is None:
+                return model.mse_value_and_grad(
+                    params, t, x, u, weight=w, fused=fused, use_reg=use_reg
+                )
+            # Pallas kernels are opaque to GSPMD: under a mesh the fused
+            # train kernel must run per-shard via shard_map, with the
+            # gradient/loss mean over the data axis as explicit pmeans
+            # (the collectives ride ICI).
+            from jax.sharding import PartitionSpec as P
+
+            axes = tuple(a for a in mesh.axis_names if a in ("replica", "data"))
+            batch_spec = P(axes if axes else mesh.axis_names[:1])
+
+            def local(params, t, x, u, w):
+                loss, grads = model.mse_value_and_grad(
+                    params, t, x, u,
+                    weight=None if w is None else w,
+                    fused=fused, use_reg=use_reg,
+                )
+                for ax in axes:
+                    loss = jax.lax.pmean(loss, ax)
+                    grads = jax.lax.pmean(grads, ax)
+                return loss, grads
+
+            in_specs = (P(), batch_spec, batch_spec, batch_spec,
+                        None if w is None else batch_spec)
+            if w is None:
+                fn = lambda p, t_, x_, u_: local(p, t_, x_, u_, None)
+                return jax.shard_map(
+                    fn, mesh=mesh, in_specs=in_specs[:4],
+                    out_specs=(P(), P()),
+                )(params, t, x, u)
+            return jax.shard_map(
+                local, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+            )(params, t, x, u, w)
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, t, x, u, w=None):
-            loss, grads = model.mse_value_and_grad(
-                state.params, t, x, u, weight=w, fused=fused, use_reg=use_reg
-            )
+            loss, grads = value_and_grad(state.params, t, x, u, w)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, opt_state, state.step + 1), loss

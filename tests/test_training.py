@@ -295,3 +295,29 @@ def test_full_state_resume_preserves_moments(tmp_path):
                     jax.tree_util.tree_leaves(st_c.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-7)
+
+
+def test_mesh_grouped_fused_shard_map():
+    """The fused kernel under a mesh runs per-shard via shard_map and the
+    pmean'd gradients match single-device training."""
+    mesh = make_mesh()
+    _, _, tw = make_data()
+    t, x, u = tw.as_grouped()
+    t, x, u = t[:16], x[:16], u[:16]
+    cfg_s = {"input_dim": 1, "output_dim": 1, "units": 16, "nlayers": 1,
+             "activation": "sine", "use_resblock": False, "omega_0": 5.0,
+             "connectivity": "full", "weight_init_factor": 0.01}
+    model = nif_tpu.NIFMultiScale(cfg_s, CFG_P)
+
+    tr_mesh = GroupedTrainer(model, optax.adam(1e-3), mesh=mesh, fused=True,
+                             seed=5)
+    st_m = tr_mesh.init(jax.random.key(0))
+    st_m = tr_mesh.fit(st_m, t, x, u, epochs=4, group_batch=16,
+                       point_batch=100)
+
+    tr_one = GroupedTrainer(model, optax.adam(1e-3), fused=True, seed=5)
+    st_1 = tr_one.init(jax.random.key(0))
+    st_1 = tr_one.fit(st_1, t, x, u, epochs=4, group_batch=16,
+                      point_batch=100)
+    np.testing.assert_allclose(tr_mesh.history["loss"], tr_one.history["loss"],
+                               rtol=1e-4, atol=1e-6)
