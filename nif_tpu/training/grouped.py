@@ -84,9 +84,13 @@ class GroupedTrainer:
                 return jax.shard_map(
                     fn, mesh=mesh, in_specs=in_specs[:4],
                     out_specs=(P(), P()),
+                    # pallas_call out_shapes carry no varying-mesh-axis
+                    # info; the pmeans above make the outputs replicated.
+                    check_vma=False,
                 )(params, t, x, u)
             return jax.shard_map(
                 local, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+                check_vma=False,
             )(params, t, x, u, w)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
