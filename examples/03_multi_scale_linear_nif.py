@@ -46,7 +46,8 @@ def main(epochs=2000, batch_size=1024, seed=0):
     model = nif_tpu.NIFMultiScaleLastLayerParameterized(
         cfg_shape_net, cfg_parameter_net
     )
-    trainer = Trainer(model, optax.adam(1e-3))
+    steps = max(epochs * (len(inputs) // batch_size), 1)
+    trainer = Trainer(model, optax.adam(optax.cosine_decay_schedule(1e-3, steps)))
     state = trainer.init(jax.random.key(seed))
     state = trainer.fit(
         state, inputs, targets, sample_weight=weights,

@@ -62,3 +62,16 @@ def test_tutorial2_multiscale_full_convergence():
     mod = importlib.import_module("02_multi_scale_nif")
     mse = mod.main(epochs=4000, batch_size=512)
     assert mse < 5e-4, f"MSE {mse}"
+
+
+@pytest.mark.skipif(not SLOW, reason="set NIF_SLOW=1 for full-budget runs")
+def test_tutorial3_linear_full_convergence():
+    """NIF-linear on the area-weighted cylinder flow: weighted MSE < 1e-3
+    (the rebuild's rel-L2-style accuracy bar; swept cosine 1e-3 -> 2.4e-4)."""
+    import sys, os as _os
+    sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "examples"))
+    import importlib
+
+    mod = importlib.import_module("03_multi_scale_linear_nif")
+    mse = mod.main(epochs=2000, batch_size=1024)
+    assert mse < 1e-3, f"weighted MSE {mse}"
