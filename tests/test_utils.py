@@ -102,9 +102,10 @@ class TestRegularization:
         m = self._model(act_l2_reg=0.1)
         params = m.init(jax.random.key(0))
         inputs = jnp.ones((4, 2))
-        # act reg = 0.1 * sum(wb^2) over the pnet output
+        # act reg = 0.1 * sum(wb^2) / batch over the pnet output (Keras
+        # activity_regularizer semantics: penalty divided by batch size)
         wb = m.p_to_w(params, inputs[:, :1])
-        expected = 0.1 * float(jnp.sum(jnp.square(wb)))
+        expected = 0.1 * float(jnp.sum(jnp.square(wb))) / 4
         assert float(m.regularization_loss(params, inputs)) == pytest.approx(
             expected, rel=1e-5
         )
@@ -169,7 +170,7 @@ class TestRegularizationGrouped:
         params = m.init(jax.random.key(0))
         t = jnp.ones((4, 1))
         wb = m.p_to_w(params, t)
-        expected = 0.1 * float(jnp.sum(jnp.square(wb)))
+        expected = 0.1 * float(jnp.sum(jnp.square(wb))) / 4  # / batch (Keras)
         assert float(m.regularization_loss(params, t=t)) == pytest.approx(
             expected, rel=1e-5
         )
