@@ -36,7 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import ShapeNetConfig
 from .shapenet import shapenet_grouped, unpack_shapenet_weights
 
-__all__ = ["shapenet_grouped_fused", "shapenet_mse_grads", "fused_supported"]
+__all__ = [
+    "shapenet_grouped_fused",
+    "shapenet_mse_grads",
+    "fused_supported",
+    "niflinear_mse_grads",
+    "linear_fused_supported",
+]
 
 
 # --------------------------------------------------------------------------
@@ -155,10 +161,20 @@ def _pick_tile(P: int, cfg: ShapeNetConfig = None, backward: bool = True):
     return None
 
 
+def _precision_for(a, b):
+    """f32 operands run full-precision MXU passes (the f32 kernel paths are
+    the fine-tuning/accuracy paths — measured ~1% grad error at default
+    precision on sine chains); bf16 operands are unaffected by the flag."""
+    if a.dtype == jnp.float32 and b.dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
 def _matmul(a, b):
     # [TP, k] x [k, m] -> [TP, m], f32 accumulation on the MXU.
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_precision_for(a, b),
     )
 
 
@@ -336,14 +352,16 @@ def _fwd_pallas(ws, bs, x, cfg: ShapeNetConfig, variant: str, interpret: bool):
 def _mmT_nt(a, b):
     # a [TP, m], b [k, m] -> a @ b.T : [TP, k]
     return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_precision_for(a, b),
     )
 
 
 def _mmT_tn(a, b):
     # a [TP, k], b [TP, m] -> a.T @ b : [k, m]
     return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_precision_for(a, b),
     )
 
 
@@ -535,7 +553,7 @@ def _train_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, has_w: bool, *ref
     out, ins, zs = _forward_layers(x, ws, bs, cfg, variant, save=True)
     err = out - t_ref[0].astype(jnp.float32)  # [TP, so]
     if has_w:
-        wgt = w_ref[0].astype(jnp.float32)[:, None]  # [TP, 1]
+        wgt = w_ref[0].astype(jnp.float32)  # [TP, 1] (weights fed as [G,P,1])
         loss_part = jnp.sum(jnp.square(err) * wgt)
         go = 2.0 * err * wgt  # caller divides by N
     else:
@@ -609,10 +627,13 @@ def shapenet_mse_grads(
     )
     args = [*ws, *bs3, x, target.astype(x.dtype)]
     if has_w:
+        # [G, P, 1]: a (1, TP) block of a [G, P] array violates Mosaic's
+        # block-shape rule (2nd-minor must divide 8 or equal the dim).
         in_specs.append(
-            pl.BlockSpec((1, TP), lambda g, p: (g, p), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, TP, 1), lambda g, p: (g, p, 0),
+                         memory_space=pltpu.VMEM)
         )
-        args.append(weight.astype(x.dtype))
+        args.append(weight.astype(x.dtype)[..., None])
 
     out_specs = (
         [pl.BlockSpec((1, 1), lambda g, p: (0, 0), memory_space=pltpu.SMEM)]
@@ -705,3 +726,227 @@ def _fused_bwd(cfg, variant, interpret, resid, g_out):
 
 
 shapenet_grouped_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --------------------------------------------------------------------------
+# Fused training kernel for NIF-linear: u = phi(x) . a(t) + bias.
+#
+# The phi trunk is a SHARED-weight SIREN chain (trainable params, identical
+# for every group) ending in a linear bottleneck of width so*K; the
+# contraction with the per-group latent a(t) and the output bias are the
+# only per-group/per-model pieces (reference nif/model.py:1240-1269). This
+# kernel runs trunk forward + contraction + weighted MSE + full backward in
+# one pallas_call: phi (the largest intermediate, [P, so*K]) never touches
+# HBM, and the trunk matmuls run exactly once. Grid is (G, P-tiles); trunk
+# weight/grad blocks map to (0, .) so grads accumulate across ALL grid
+# steps, while d_a accumulates per group over its P-tiles.
+# --------------------------------------------------------------------------
+def _pick_tile_linear(P: int, trunk_cfg: ShapeNetConfig):
+    """Point-tile for the linear train kernel: residuals are the sine-chain
+    ins/zs PLUS phi and d_phi ([TP, so*K] each, f32), backward du/dz
+    temporaries, and the double-buffered x/target tiles (whose narrow lane
+    dims Mosaic pads to 128). Measured on v5e: the width-128 depth-2 trunk
+    needs ~9 KB/row, so TP=1024 fits the 16 MB scoped-vmem stack."""
+    n_sine = 1 + (2 if trunk_cfg.use_resblock else 1) * trunk_cfg.nlayers
+    bytes_per_row = (
+        2 * n_sine * trunk_cfg.units  # ins + zs
+        + 2 * trunk_cfg.output_dim    # phi + d_phi
+        + 2 * trunk_cfg.units         # du / dz live pair
+        + 4 * 128                     # padded x/target double buffers
+    ) * 4
+    cap = max(min(1024, _VMEM_RESIDUAL_BUDGET // max(bytes_per_row, 1)), 8)
+    for tp in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if tp <= cap and P % tp == 0:
+            return tp
+    return None
+
+
+def linear_fused_supported(trunk_cfg: ShapeNetConfig, so: int, P: int) -> bool:
+    """Whether the fused NIF-linear train kernel handles this config.
+
+    ``trunk_cfg`` is the phi trunk viewed as a full-connectivity chain
+    (output_dim = so * latent_dim); ``so`` stays small (it's the field's
+    component count), so the per-output contraction loop is static."""
+    if so > 8 or trunk_cfg.output_dim % so != 0:
+        return False
+    if trunk_cfg.units < 8 or _pick_tile_linear(P, trunk_cfg) is None:
+        return False
+    return trunk_cfg.connectivity == "full"
+
+
+def _linear_train_kernel(cfg: ShapeNetConfig, n_w: int, so: int, K: int,
+                         has_w: bool, *refs):
+    # in refs:  w_0.. (trunk, shared), b_0.., a [1,1,K], bias [1,1,so],
+    #           x, target, (weight)
+    # out refs: loss [1,1], dw_0.., db_0.., d_a [1,1,K], d_bias [1,1,so]
+    ws = [refs[i][0] for i in range(n_w)]
+    bs = [refs[n_w + i][0] for i in range(n_w)]
+    a_ref = refs[2 * n_w]
+    bias_ref = refs[2 * n_w + 1]
+    x_ref = refs[2 * n_w + 2]
+    t_ref = refs[2 * n_w + 3]
+    ofs = 2 * n_w + 4
+    w_ref = refs[ofs] if has_w else None
+    ofs += 1 if has_w else 0
+    loss_ref = refs[ofs]
+    dw_refs = refs[ofs + 1 : ofs + 1 + n_w]
+    db_refs = refs[ofs + 1 + n_w : ofs + 1 + 2 * n_w]
+    da_ref = refs[ofs + 1 + 2 * n_w]
+    dbias_ref = refs[ofs + 2 + 2 * n_w]
+
+    x = x_ref[0]
+    phi, ins, zs = _forward_layers(x, ws, bs, cfg, "siren", save=True)
+    a_row = a_ref[0].astype(jnp.float32)  # [1, K]
+    bias_row = bias_ref[0].astype(jnp.float32)  # [1, so]
+
+    # Contraction u[p, o] = phi[p, o*K:(o+1)*K] . a + bias[o] — so is tiny,
+    # so each output component is a VPU multiply + lane reduction (the MXU
+    # would pad the K contraction to a full pass per component).
+    blocks = [phi[:, o * K : (o + 1) * K] for o in range(so)]
+    cols = [
+        jnp.sum(blk * a_row, axis=1, keepdims=True) for blk in blocks
+    ]
+    u = (jnp.concatenate(cols, axis=1) if so > 1 else cols[0]) + bias_row
+    err = u - t_ref[0].astype(jnp.float32)  # [TP, so]
+    if has_w:
+        wgt = w_ref[0].astype(jnp.float32)  # [TP, 1] (weights fed as [G,P,1])
+        loss_part = jnp.sum(jnp.square(err) * wgt)
+        go = 2.0 * err * wgt  # caller divides by N
+    else:
+        loss_part = jnp.sum(jnp.square(err))
+        go = 2.0 * err
+
+    d_bias = jnp.sum(go, axis=0, keepdims=True)  # [1, so]
+    d_a = None
+    d_phi_cols = []
+    for o, blk in enumerate(blocks):
+        go_o = go[:, o : o + 1]  # [TP, 1]
+        contrib = jnp.sum(blk * go_o, axis=0, keepdims=True)  # [1, K]
+        d_a = contrib if d_a is None else d_a + contrib
+        d_phi_cols.append(go_o * a_row)  # outer product, [TP, K]
+    d_phi = (
+        jnp.concatenate(d_phi_cols, axis=1) if so > 1 else d_phi_cols[0]
+    )
+    dws, dbs, _ = _backward_chain(d_phi, ws, ins, zs, cfg, "siren", x.dtype)
+
+    g = pl.program_id(0)
+    p = pl.program_id(1)
+    first = jnp.logical_and(g == 0, p == 0)
+
+    @pl.when(first)
+    def _init():
+        loss_ref[0, 0] = loss_part
+        for r, v in zip(dw_refs, dws):
+            r[0] = v.astype(r.dtype)
+        for r, v in zip(db_refs, dbs):
+            r[0] = v[None, :].astype(r.dtype)
+        dbias_ref[0] = d_bias.astype(dbias_ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        loss_ref[0, 0] = loss_ref[0, 0] + loss_part
+        for r, v in zip(dw_refs, dws):
+            r[0] = r[0] + v.astype(r.dtype)
+        for r, v in zip(db_refs, dbs):
+            r[0] = r[0] + v[None, :].astype(r.dtype)
+        dbias_ref[0] = dbias_ref[0] + d_bias.astype(dbias_ref.dtype)
+
+    @pl.when(p == 0)
+    def _init_da():
+        da_ref[0] = d_a.astype(da_ref.dtype)
+
+    @pl.when(p != 0)
+    def _accum_da():
+        da_ref[0] = da_ref[0] + d_a.astype(da_ref.dtype)
+
+
+def niflinear_mse_grads(
+    ws,
+    bs,
+    a: jnp.ndarray,
+    bias: jnp.ndarray,
+    x: jnp.ndarray,
+    target: jnp.ndarray,
+    trunk_cfg: ShapeNetConfig,
+    so: int,
+    weight: jnp.ndarray = None,
+    interpret: bool = None,
+):
+    """Fused NIF-linear train core (reference semantics nif/model.py:1240-1269
+    under weighted MSE): returns ``(loss, d_ws, d_bs, d_a, d_bias)``.
+
+    ``ws``/``bs``: trunk layer weights/biases in chain order (shared across
+    groups; the bottleneck of width so*K is the last entry). ``a [G, K]``
+    per-group latents, ``bias [so]``, ``x [G, P, si]``, ``target [G, P, so]``,
+    ``weight [G, P]`` optional. All grads are f32 sums divided by N = G*P*so
+    (matching ``mean``). Not differentiable — use in a hand-assembled step.
+    """
+    G, P, si = x.shape
+    K = a.shape[-1]
+    assert trunk_cfg.output_dim == so * K
+    interpret = _resolve_interpret(interpret)
+    TP = _pick_tile_linear(P, trunk_cfg)
+    n_w = len(ws)
+    grid = (G, P // TP)
+
+    ws = _prescale(list(ws), trunk_cfg, "siren")
+    ws3 = [w[None] for w in ws]  # [1, n_in, n_out]
+    bs3 = [b[None, None, :] for b in bs]  # [1, 1, n]
+    a3 = a[:, None, :]  # [G, 1, K]
+    bias3 = bias[None, None, :]  # [1, 1, so]
+
+    shared = lambda shp: pl.BlockSpec(
+        (1,) + shp, lambda g, p: (0,) * (len(shp) + 1), memory_space=pltpu.VMEM
+    )
+    in_specs = (
+        [shared(w.shape[1:]) for w in ws3]
+        + [shared(b.shape[1:]) for b in bs3]
+        + [pl.BlockSpec((1, 1, K), lambda g, p: (g, 0, 0), memory_space=pltpu.VMEM),
+           shared((1, so)),
+           pl.BlockSpec((1, TP, si), lambda g, p: (g, p, 0), memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, TP, so), lambda g, p: (g, p, 0), memory_space=pltpu.VMEM)]
+    )
+    args = [*ws3, *bs3, a3, bias3, x, target.astype(x.dtype)]
+    has_w = weight is not None
+    if has_w:
+        # [G, P, 1] — see shapenet_mse_grads: Mosaic block-shape rule.
+        in_specs.append(
+            pl.BlockSpec((1, TP, 1), lambda g, p: (g, p, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(weight.astype(x.dtype)[..., None])
+
+    out_specs = (
+        [pl.BlockSpec((1, 1), lambda g, p: (0, 0), memory_space=pltpu.SMEM)]
+        + [shared(w.shape[1:]) for w in ws3]
+        + [shared(b.shape[1:]) for b in bs3]
+        + [pl.BlockSpec((1, 1, K), lambda g, p: (g, 0, 0), memory_space=pltpu.VMEM),
+           shared((1, so))]
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws3]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs3]
+        + [jax.ShapeDtypeStruct((G, 1, K), jnp.float32),
+           jax.ShapeDtypeStruct((1, 1, so), jnp.float32)]
+    )
+
+    kernel = functools.partial(_linear_train_kernel, trunk_cfg, n_w, so, K, has_w)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args)
+    n_elem = G * P * so
+    loss = outs[0][0, 0] / n_elem
+    d_ws = [
+        d[0] / n_elem
+        for d in _unscale_grads(list(outs[1 : 1 + n_w]), trunk_cfg, "siren")
+    ]
+    d_bs = [d[0, 0] / n_elem for d in outs[1 + n_w : 1 + 2 * n_w]]
+    d_a = outs[1 + 2 * n_w][:, 0, :] / n_elem
+    d_bias = outs[2 + 2 * n_w][0, 0] / n_elem
+    return loss, d_ws, d_bs, d_a, d_bias

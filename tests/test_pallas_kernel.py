@@ -149,3 +149,74 @@ class TestFusedMseGrads:
             scale = float(jnp.max(jnp.abs(a))) + 1e-9
             np.testing.assert_allclose(np.asarray(b) / scale,
                                        np.asarray(a) / scale, atol=1e-5)
+
+
+class TestNIFLinearFusedTrain:
+    """Fused NIF-linear train kernel (interpret mode) vs jax.value_and_grad
+    over the unfused path — loss and every grad leaf must match."""
+
+    def _model(self, so=1, resblock=False, K=8):
+        import nif_tpu
+
+        cfg_s = {"input_dim": 2, "output_dim": so, "units": 16, "nlayers": 2,
+                 "activation": "sine", "use_resblock": resblock,
+                 "omega_0": 5.0, "connectivity": "last_layer",
+                 "weight_init_factor": 1.0}
+        cfg_p = {"input_dim": 1, "latent_dim": K, "units": 16, "nlayers": 1,
+                 "activation": "swish", "use_resblock": False, "omega_0": 5.0}
+        return nif_tpu.NIFMultiScaleLastLayerParameterized(cfg_s, cfg_p)
+
+    @pytest.mark.parametrize("so,resblock,weighted", [
+        (1, False, False), (2, False, True), (1, True, False),
+        (3, True, True),
+    ])
+    def test_matches_unfused(self, so, resblock, weighted):
+        model = self._model(so=so, resblock=resblock)
+        params = model.init(jax.random.key(0))
+        rng = np.random.default_rng(0)
+        G, P = 3, 64
+        t = jnp.asarray(rng.standard_normal((G, 1)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((G, P, 2)), jnp.float32)
+        u = jnp.asarray(rng.standard_normal((G, P, so)), jnp.float32)
+        w = (jnp.asarray(rng.uniform(0.5, 1.5, (G, P)), jnp.float32)
+             if weighted else None)
+
+        loss_r, grads_r = model.mse_value_and_grad(params, t, x, u, weight=w,
+                                                   fused=False)
+        loss_f, grads_f = model.mse_value_and_grad(params, t, x, u, weight=w,
+                                                   fused=True)
+        assert float(loss_f) == pytest.approx(float(loss_r), rel=1e-5)
+        flat_r = jax.tree_util.tree_leaves_with_path(grads_r)
+        flat_f = dict(jax.tree_util.tree_leaves_with_path(grads_f))
+        for path, leaf_r in flat_r:
+            leaf_f = flat_f[path]
+            scale = float(jnp.max(jnp.abs(leaf_r))) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(leaf_f) / scale, np.asarray(leaf_r) / scale,
+                atol=5e-5, err_msg=str(path),
+            )
+
+    def test_regularized_fused(self):
+        import nif_tpu
+
+        cfg_s = {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
+                 "activation": "sine", "use_resblock": False, "omega_0": 5.0,
+                 "connectivity": "last_layer", "weight_init_factor": 1.0,
+                 "l2_reg": 1e-3}
+        cfg_p = {"input_dim": 1, "latent_dim": 8, "units": 16, "nlayers": 1,
+                 "activation": "swish", "use_resblock": False, "omega_0": 5.0,
+                 "act_l2_reg": 1e-3}
+        model = nif_tpu.NIFMultiScaleLastLayerParameterized(cfg_s, cfg_p)
+        params = model.init(jax.random.key(0))
+        rng = np.random.default_rng(1)
+        t = jnp.asarray(rng.standard_normal((2, 1)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((2, 32, 2)), jnp.float32)
+        u = jnp.asarray(rng.standard_normal((2, 32, 1)), jnp.float32)
+        loss_r, grads_r = model.mse_value_and_grad(params, t, x, u, fused=False)
+        loss_f, grads_f = model.mse_value_and_grad(params, t, x, u, fused=True)
+        assert float(loss_f) == pytest.approx(float(loss_r), rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(grads_f),
+                        jax.tree_util.tree_leaves(grads_r)):
+            scale = float(jnp.max(jnp.abs(b))) + 1e-9
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale, atol=5e-5)
