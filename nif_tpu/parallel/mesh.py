@@ -26,10 +26,69 @@ __all__ = [
     "make_mesh",
     "make_hybrid_mesh",
     "batch_sharding",
+    "batch_axis_size",
     "replicated_sharding",
     "shard_batch",
     "pad_to_multiple",
+    "init_distributed",
+    "put_batch",
+    "put_replicated",
 ]
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids=None,
+) -> int:
+    """Multi-host bootstrap: ``jax.distributed.initialize`` + sanity report.
+
+    On TPU pods the arguments are auto-detected from the environment; on
+    CPU/GPU clusters pass them explicitly. Idempotent (re-initialization is
+    a no-op). Returns ``jax.process_index()``. The reference has no
+    multi-host story at all (its ceiling is single-node MirroredStrategy,
+    reference README.md:42-52); this is the pod-scale axis of the rebuild:
+    call this first, then build a :func:`make_mesh`/:func:`make_hybrid_mesh`
+    over the now-global ``jax.devices()``.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+    return jax.process_index()
+
+
+def put_batch(arr, mesh: Mesh, axis=None):
+    """Place one batch array onto the mesh, sharded over the batch axes.
+
+    Single-process: a plain ``device_put``. Multi-process: ``arr`` is this
+    process's LOCAL shard and the global array is assembled from every
+    process's contribution (``jax.make_array_from_process_local_data``) —
+    the global batch dim is ``local_dim * num_processes``.
+    """
+    sh = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sh)
+    return jax.make_array_from_process_local_data(sh, np.asarray(arr))
+
+
+def put_replicated(tree, mesh: Mesh):
+    """Replicate a pytree onto the mesh (multi-process safe: each process
+    must hold the same values, e.g. from an identical PRNG seed)."""
+    sh = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
+        tree,
+    )
 
 
 def make_mesh(
@@ -103,6 +162,18 @@ def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
         axes = tuple(a for a in mesh.axis_names if a in ("replica", "data"))
         axis = axes if axes else mesh.axis_names[:1]
     return NamedSharding(mesh, P(axis))
+
+
+def batch_axis_size(mesh: Mesh) -> int:
+    """Total device count along the batch-sharded axes — the divisibility
+    requirement for dim 0 of anything placed with :func:`batch_sharding`."""
+    axes = tuple(a for a in mesh.axis_names if a in ("replica", "data"))
+    if not axes:
+        axes = mesh.axis_names[:1]
+    size = 1
+    for a in axes:
+        size *= mesh.shape[a]
+    return size
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..parallel.mesh import batch_axis_size, put_batch, put_replicated
 from .trainer import TrainState
 
 __all__ = ["GroupedTrainer"]
@@ -111,15 +111,15 @@ class GroupedTrainer:
     def init(self, key) -> TrainState:
         params = self.model.init(key)
         if self.mesh is not None:
-            params = jax.device_put(params, replicated_sharding(self.mesh))
+            params = put_replicated(params, self.mesh)
         return TrainState(params, self.tx.init(params), 0)
 
     def _put(self, *arrays):
         if self.mesh is None:
             return tuple(None if a is None else jnp.asarray(a) for a in arrays)
-        sh = batch_sharding(self.mesh)
         return tuple(
-            None if a is None else jax.device_put(np.asarray(a), sh) for a in arrays
+            None if a is None else put_batch(np.asarray(a), self.mesh)
+            for a in arrays
         )
 
     def fit(
@@ -138,27 +138,52 @@ class GroupedTrainer:
         G, P = x.shape[0], x.shape[1]
         group_batch = min(group_batch or G, G)
         point_batch = min(point_batch or P, P)
+        # Mesh divisibility + tail handling on the GROUP axis: round the
+        # group batch up and pad short batches with zero-weight copies so
+        # no snapshot is silently dropped (see trainer.pad_batch).
+        n_div = 1 if self.mesh is None else batch_axis_size(self.mesh)
+        group_batch += (-group_batch) % n_div
+        needs_pad = (G % group_batch != 0) or sample_weight is not None
+        from .trainer import pad_batch
 
         for cb in callbacks:
             cb.on_train_begin(self)
         for epoch in range(epochs):
             t0 = time.perf_counter()
             g_order = self._rng.permutation(G)
-            losses = []
-            for s in range(0, G - group_batch + 1, group_batch):
+            losses, sizes = [], []
+            for s in range(0, G, group_batch):
                 gsel = g_order[s : s + group_batch]
+                b = len(gsel)
                 psel = self._rng.choice(P, size=point_batch, replace=False)
                 w = (
                     None
                     if sample_weight is None
                     else sample_weight[gsel][:, psel]
                 )
-                bt, bx, bu, bw = self._put(
-                    t[gsel], x[gsel][:, psel], u[gsel][:, psel], w
-                )
+                bt, bx, bu = t[gsel], x[gsel][:, psel], u[gsel][:, psel]
+                if needs_pad:
+                    # per-group weights: scale/zero whole rows of [Gb, Pb]
+                    (bt, bx, bu), w_rows = pad_batch((bt, bx, bu), None, b,
+                                                     group_batch)
+                    w_full = (
+                        np.broadcast_to(w_rows[:, None],
+                                        (group_batch, point_batch))
+                        if w is None
+                        else np.concatenate(
+                            [w, np.zeros((group_batch - b, point_batch),
+                                         w.dtype)]
+                        ) * w_rows[:, None]
+                    )
+                    w = np.ascontiguousarray(w_full, dtype=np.float32)
+                bt, bx, bu, bw = self._put(bt, bx, bu, w)
                 state, loss = self._step(state, bt, bx, bu, bw)
                 losses.append(loss)
-            epoch_loss = float(np.mean(jax.device_get(losses))) if losses else float("nan")
+                sizes.append(b)
+            epoch_loss = (
+                float(np.average(jax.device_get(losses), weights=sizes))
+                if losses else float("nan")
+            )
             self.history["epoch"].append(epoch)
             self.history["loss"].append(epoch_loss)
             logs = {"loss": epoch_loss, "epoch": epoch,

@@ -22,9 +22,36 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..parallel.mesh import (
+    batch_axis_size,
+    put_batch,
+    put_replicated,
+)
 
 __all__ = ["TrainState", "Trainer", "make_train_step"]
+
+
+def pad_batch(arrays, weight, n_real: int, n_target: int):
+    """Pad a batch's dim 0 to ``n_target`` with zero-weight filler rows.
+
+    Real rows get their weight scaled by ``n_target / n_real`` so the
+    mean-reduced weighted MSE over the padded batch equals the exact mean
+    over the real rows — tail batches and mesh-divisibility padding change
+    neither the loss value nor the gradient.
+    """
+    scale = n_target / n_real
+    w = (np.ones(n_real, np.float32) if weight is None
+         else np.asarray(weight, np.float32)) * scale
+    if n_target == n_real:
+        return arrays, w
+    pad = n_target - n_real
+    padded = tuple(
+        np.concatenate(
+            [a, np.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0
+        )
+        for a in arrays
+    )
+    return padded, np.concatenate([w, np.zeros(pad, np.float32)])
 
 
 class TrainState:
@@ -139,7 +166,7 @@ class Trainer:
     def init(self, key) -> TrainState:
         params = self.model.init(key)
         if self.mesh is not None:
-            params = jax.device_put(params, replicated_sharding(self.mesh))
+            params = put_replicated(params, self.mesh)
         opt_state = self._maybe_shard_opt_state(self.tx.init(params))
         return TrainState(params, opt_state, 0)
 
@@ -175,9 +202,9 @@ class Trainer:
     def _put_batch(self, *arrays):
         if self.mesh is None:
             return tuple(None if a is None else jnp.asarray(a) for a in arrays)
-        sh = batch_sharding(self.mesh)
         return tuple(
-            None if a is None else jax.device_put(np.asarray(a), sh) for a in arrays
+            None if a is None else put_batch(np.asarray(a), self.mesh)
+            for a in arrays
         )
 
     def fit(
@@ -196,6 +223,12 @@ class Trainer:
     ) -> TrainState:
         n = inputs.shape[0]
         batch_size = min(batch_size or n, n)
+        # Under a mesh dim 0 must divide across the data axes; round the
+        # batch up and zero-weight-pad (tail batches are padded the same
+        # way instead of being dropped — every point trains every epoch).
+        n_div = 1 if self.mesh is None else batch_axis_size(self.mesh)
+        batch_size += (-batch_size) % n_div
+        needs_pad = (n % batch_size != 0) or sample_weight is not None
         inputs = np.asarray(inputs)
         targets = np.asarray(targets)
         if sample_weight is not None:
@@ -206,14 +239,24 @@ class Trainer:
         for epoch in range(epochs):
             t0 = time.perf_counter()
             idx = self._rng.permutation(n) if shuffle else np.arange(n)
-            losses = []
-            for s in range(0, n - batch_size + 1, batch_size):
+            losses, sizes = [], []
+            for s in range(0, n, batch_size):
                 sel = idx[s : s + batch_size]
+                b = len(sel)
                 w = None if sample_weight is None else sample_weight[sel]
-                bi, bt, bw = self._put_batch(inputs[sel], targets[sel], w)
+                bi, bt = inputs[sel], targets[sel]
+                if needs_pad:
+                    # keep the jitted step signature stable: once any batch
+                    # carries weights, all of them do
+                    (bi, bt), w = pad_batch((bi, bt), w, b, batch_size)
+                bi, bt, bw = self._put_batch(bi, bt, w)
                 state, loss = self._step(state, bi, bt, bw)
                 losses.append(loss)
-            epoch_loss = float(np.mean(jax.device_get(losses))) if losses else float("nan")
+                sizes.append(b)
+            epoch_loss = (
+                float(np.average(jax.device_get(losses), weights=sizes))
+                if losses else float("nan")
+            )
             self.history["epoch"].append(epoch)
             self.history["loss"].append(epoch_loss)
             logs = {

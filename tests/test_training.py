@@ -321,3 +321,102 @@ def test_mesh_grouped_fused_shard_map():
                       point_batch=100)
     np.testing.assert_allclose(tr_mesh.history["loss"], tr_one.history["loss"],
                                rtol=1e-4, atol=1e-6)
+
+
+def test_tail_batch_trained_and_loss_exact():
+    """VERDICT round-1 Weak #4: tail batches must not be dropped, and the
+    zero-weight padding must not change the loss: with lr=0, the epoch loss
+    over n=10, batch=8 (one full + one padded tail batch) equals the plain
+    full-dataset MSE."""
+    model = nif_tpu.NIF(CFG_S, CFG_P)
+    trainer = Trainer(model, optax.sgd(0.0))
+    state = trainer.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    inputs = rng.standard_normal((10, 2)).astype(np.float32)
+    targets = rng.standard_normal((10, 1)).astype(np.float32)
+    state = trainer.fit(state, inputs, targets, epochs=1, batch_size=8,
+                        shuffle=False)
+    assert state.step == 2  # full batch + padded tail, none dropped
+    direct = trainer.evaluate(state, inputs, targets)
+    assert trainer.history["loss"][-1] == pytest.approx(direct, rel=1e-5)
+
+
+def test_mesh_indivisible_batch_trains():
+    """batch sizes not divisible by the data axis round up + pad."""
+    mesh = make_mesh()
+    model = nif_tpu.NIF(CFG_S, CFG_P)
+    trainer = Trainer(model, optax.adam(1e-3), mesh=mesh)
+    state = trainer.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    inputs = rng.standard_normal((1000, 2)).astype(np.float32)
+    targets = rng.standard_normal((1000, 1)).astype(np.float32)
+    state = trainer.fit(state, inputs, targets, epochs=1, batch_size=250)
+    # 250 -> 256; ceil(1000/256) = 4 steps
+    assert state.step == 4
+    assert np.isfinite(trainer.history["loss"][-1])
+
+
+def test_grouped_tail_groups_trained_and_loss_exact():
+    model = nif_tpu.NIFMultiScale(
+        {"input_dim": 1, "output_dim": 1, "units": 8, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 1.0},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "tanh", "use_resblock": False, "omega_0": 30.0},
+    )
+    trainer = GroupedTrainer(model, optax.sgd(0.0))
+    state = trainer.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    G, P = 5, 32
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 1)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    state = trainer.fit(state, t, x, u, epochs=1, group_batch=2, point_batch=P)
+    assert state.step == 3  # 2 + 2 + padded tail of 1
+    direct = trainer.evaluate(state, t, x, u)
+    assert trainer.history["loss"][-1] == pytest.approx(direct, rel=1e-5)
+
+
+def test_grouped_mesh_indivisible_group_batch():
+    mesh = make_mesh()
+    model = nif_tpu.NIFMultiScale(
+        {"input_dim": 1, "output_dim": 1, "units": 8, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 1.0},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "tanh", "use_resblock": False, "omega_0": 30.0},
+    )
+    trainer = GroupedTrainer(model, optax.adam(1e-3), mesh=mesh)
+    state = trainer.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    G, P = 10, 32
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 1)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    # group_batch=3 -> rounds to 8 on the 8-device mesh; 10 groups -> 2 steps
+    state = trainer.fit(state, t, x, u, epochs=1, group_batch=3, point_batch=16)
+    assert state.step == 2
+    assert np.isfinite(trainer.history["loss"][-1])
+
+
+def test_grouped_weighted_tail_loss_exact():
+    """Area-weighted case: padding must preserve the weighted mean."""
+    model = nif_tpu.NIFMultiScale(
+        {"input_dim": 1, "output_dim": 1, "units": 8, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 1.0},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "tanh", "use_resblock": False, "omega_0": 30.0},
+    )
+    trainer = GroupedTrainer(model, optax.sgd(0.0))
+    state = trainer.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    G, P = 3, 16
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 1)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (G, P)).astype(np.float32)
+    state = trainer.fit(state, t, x, u, sample_weight=w, epochs=1,
+                        group_batch=2, point_batch=P)
+    direct = trainer.evaluate(state, t, x, u, sample_weight=w)
+    assert trainer.history["loss"][-1] == pytest.approx(direct, rel=1e-5)
