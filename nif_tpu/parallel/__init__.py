@@ -1,8 +1,12 @@
 from .mesh import (
+    batch_axis_size,
     batch_sharding,
+    init_distributed,
     make_hybrid_mesh,
     make_mesh,
     pad_to_multiple,
+    put_batch,
+    put_replicated,
     replicated_sharding,
     shard_batch,
 )
@@ -11,7 +15,11 @@ __all__ = [
     "make_mesh",
     "make_hybrid_mesh",
     "batch_sharding",
+    "batch_axis_size",
     "replicated_sharding",
     "shard_batch",
     "pad_to_multiple",
+    "init_distributed",
+    "put_batch",
+    "put_replicated",
 ]
