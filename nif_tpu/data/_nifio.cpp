@@ -50,17 +50,29 @@ void parallel_for(int64_t n, int n_threads, F&& fn) {
 extern "C" {
 
 // out[i, :] = src[idx[i], :] — the shuffle-gather hot loop.
-void nifio_gather_rows(const float* src, int64_t n_src_rows, int64_t n_cols,
-                       const int64_t* idx, int64_t n_idx, float* out,
-                       int n_threads) {
+// Out-of-range indices zero-fill their output row (never leaving
+// uninitialized memory in the batch) and are COUNTED; the return value is
+// the number of bad indices so the Python wrapper can raise instead of
+// training on silently-corrupted data.
+int64_t nifio_gather_rows(const float* src, int64_t n_src_rows, int64_t n_cols,
+                          const int64_t* idx, int64_t n_idx, float* out,
+                          int n_threads) {
   const size_t row_bytes = static_cast<size_t>(n_cols) * sizeof(float);
+  std::atomic<int64_t> n_bad{0};
   parallel_for(n_idx, n_threads, [&](int64_t lo, int64_t hi) {
+    int64_t bad = 0;
     for (int64_t i = lo; i < hi; ++i) {
       int64_t j = idx[i];
-      if (j < 0 || j >= n_src_rows) continue;  // defensive: skip bad index
+      if (j < 0 || j >= n_src_rows) {
+        std::memset(out + i * n_cols, 0, row_bytes);
+        ++bad;
+        continue;
+      }
       std::memcpy(out + i * n_cols, src + j * n_cols, row_bytes);
     }
+    if (bad) n_bad.fetch_add(bad, std::memory_order_relaxed);
   });
+  return n_bad.load(std::memory_order_relaxed);
 }
 
 // out = src[perm(seed), :] — full-shard shuffle with an internal

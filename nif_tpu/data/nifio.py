@@ -37,6 +37,8 @@ def _build() -> bool:
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
+    if os.environ.get("NIF_NO_NATIVE"):  # force the numpy fallback
+        return None
     with _lock:
         if _lib is not None or _tried:
             return _lib
@@ -53,6 +55,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, i64, i64, ctypes.c_void_p, i64, ctypes.c_void_p,
             ctypes.c_int,
         ]
+        lib.nifio_gather_rows.restype = i64
         lib.nifio_permute_rows.argtypes = [
             ctypes.c_void_p, i64, i64, ctypes.c_uint64, ctypes.c_void_p,
             ctypes.c_int,
@@ -76,10 +79,14 @@ def gather_rows(src: np.ndarray, idx: np.ndarray, n_threads: int = 0) -> np.ndar
     src = np.ascontiguousarray(src, dtype=np.float32)
     idx = np.ascontiguousarray(idx, dtype=np.int64)
     out = np.empty((idx.shape[0], src.shape[1]), dtype=np.float32)
-    lib.nifio_gather_rows(
+    n_bad = lib.nifio_gather_rows(
         src.ctypes.data, src.shape[0], src.shape[1],
         idx.ctypes.data, idx.shape[0], out.ctypes.data, n_threads,
     )
+    if n_bad:
+        raise IndexError(
+            f"gather_rows: {n_bad} indices out of range [0, {src.shape[0]})"
+        )
     return out
 
 

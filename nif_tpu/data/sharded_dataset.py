@@ -268,14 +268,16 @@ class GroupedDataset:
         batch. Global epoch accounting, background shard prefetch."""
         if not self.files:
             raise ValueError("no shards opened")
-        rng = np.random.default_rng(seed)
+        # numpy Generators are not thread-safe: the producer thread gets its
+        # own spawned stream so concurrent use can't corrupt either.
+        prod_rng, rng = np.random.default_rng(seed).spawn(2)
         P = self.meta["points_per_group"]
         point_batch = min(point_batch or P, P)
 
         def produce(q):
             try:
                 for epoch in range(epochs):
-                    for fi in rng.permutation(len(self.files)):
+                    for fi in prod_rng.permutation(len(self.files)):
                         with np.load(self.files[fi]) as z:
                             payload = {k: z[k] for k in z.files}
                         q.put((epoch, payload))

@@ -200,3 +200,47 @@ class TestGroupedDataset:
         assert len(a.files) + len(b.files) == 2
         _, _, _, _, bw = next(iter(a.iter_batches(group_batch=4)))
         assert bw is not None and bw.shape == (4, 16)
+
+
+def test_grouped_dataset_deterministic_stream(tmp_path):
+    """Same seed -> bit-identical batch stream twice (the producer thread
+    owns its own spawned rng, so prefetch timing can't perturb shuffles)."""
+    from nif_tpu.data import GroupedDataset
+
+    rng = np.random.default_rng(0)
+    G, P = 12, 64
+    t = rng.standard_normal((G, 2)).astype(np.float32)
+    x = rng.standard_normal((G, P, 1)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    GroupedDataset.create_from_arrays(t, x, u, str(tmp_path / "det"),
+                                      groups_per_file=4)
+    ds = GroupedDataset(str(tmp_path / "det"))
+
+    def collect():
+        return [
+            (e, bt.copy(), bx.copy(), bu.copy())
+            for e, bt, bx, bu, _ in ds.iter_batches(
+                group_batch=2, point_batch=16, epochs=2, seed=7)
+        ]
+
+    run1, run2 = collect(), collect()
+    assert len(run1) == len(run2) and len(run1) > 0
+    for (e1, a1, b1, c1), (e2, a2, b2, c2) in zip(run1, run2):
+        assert e1 == e2
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(b1, b2)
+        np.testing.assert_array_equal(c1, c2)
+
+
+def test_gather_rows_raises_on_bad_index():
+    """Out-of-range gather indices must raise (native path zero-fills and
+    counts; numpy fallback raises natively) — never silent garbage rows."""
+    import pytest
+
+    from nif_tpu.data.nifio import gather_rows
+
+    src = np.arange(12, dtype=np.float32).reshape(4, 3)
+    with pytest.raises(IndexError):
+        gather_rows(src, np.array([0, 7], dtype=np.int64))
+    with pytest.raises(IndexError):
+        gather_rows(src, np.array([-1, 2], dtype=np.int64))
