@@ -35,6 +35,7 @@ def lbfgs_minimize(
     opt_state=None,
     return_state: bool = False,
     display_every: int = 0,
+    dtype=None,
 ):
     """Minimize ``loss_fn(params)`` with L-BFGS; returns (params, losses).
 
@@ -45,7 +46,20 @@ def lbfgs_minimize(
     CONTINUE with the accumulated curvature pairs instead of restarting —
     the ``previous_optimizer_results`` pattern of the reference's
     resumable ``LBFGSOptimizer`` (nif/optimizers/lbfgs_V2.py:104-112).
+
+    ``dtype="float64"`` casts params (and therefore the whole objective /
+    curvature-pair arithmetic) to f64 under ``jax.experimental.enable_x64``,
+    matching the reference's deliberate float64 L-BFGS
+    (nif/optimizers/lbfgs_V2.py:79) — the fine-tuning path squeezes digits
+    f32 line searches cannot resolve. Returned params keep that dtype.
     """
+    if dtype is not None:
+        # The optimizer arithmetic (curvature pairs, line-search values)
+        # runs in `dtype` even when the model's policy computes the
+        # objective at lower precision (full f64 end-to-end = a 'float64'
+        # mixed_policy on the model plus dtype='float64' here).
+        _base_loss = loss_fn
+        loss_fn = lambda p: _base_loss(p).astype(dtype)  # noqa: E731
     opt = optax.lbfgs(
         learning_rate=learning_rate,
         memory_size=memory_size,
@@ -95,8 +109,17 @@ def lbfgs_minimize(
     # L-BFGS curvature pairs and line searches are precision-sensitive: on
     # TPU the default f32 matmul runs at reduced internal precision, which
     # measurably stalls convergence. This is a fine-tuning path — accuracy
-    # beats speed — so trace under full f32 matmul precision.
-    with jax.default_matmul_precision("highest"):
+    # beats speed — so trace under full f32 matmul precision (and x64 when
+    # dtype asks for it).
+    import contextlib
+
+    x64 = dtype is not None and jnp.dtype(dtype) == jnp.float64
+    ctx = jax.enable_x64(True) if x64 else contextlib.nullcontext()
+    with ctx, jax.default_matmul_precision("highest"):
+        if dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(p, dtype), params
+            )
         if opt_state is None:
             opt_state = opt.init(params)
         params, losses, n, opt_state = run(params, opt_state)
@@ -105,6 +128,16 @@ def lbfgs_minimize(
     if return_state:
         return params, losses, opt_state
     return params, losses
+
+
+def _params_key(params, dtype=None):
+    """Structure/shape/dtype fingerprint guarding resumed L-BFGS state."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    return (
+        treedef,
+        tuple((tuple(l.shape), str(jnp.result_type(l))) for l in leaves),
+        None if dtype is None else str(jnp.dtype(dtype)),
+    )
 
 
 class LBFGS:
@@ -158,9 +191,19 @@ class LBFGS:
         With ``resume=True`` the curvature pairs carry across rounds AND
         across repeated ``minimize`` calls — the resumable
         ``LBFGSOptimizer`` behavior (reference nif/optimizers/lbfgs_V2.py).
-        Returns the optimized params.
+        The saved state is only valid for a continuation of the SAME
+        trajectory: if ``params`` passed to a resumed call don't match the
+        shapes/dtypes the state was built from, the state is discarded and
+        optimization restarts fresh (curvature pairs from an unrelated
+        point would corrupt the search direction). Pass ``dtype="float64"``
+        for the reference's f64 fine-tuning mode. Returns the optimized
+        params.
         """
         state = getattr(self, "_opt_state", None) if resume else None
+        if state is not None and getattr(self, "_state_key", None) != _params_key(
+            params, kw.get("dtype")
+        ):
+            state = None
         for _ in range(rounds):
             params, losses, state = lbfgs_minimize(
                 self._objective, params, max_iter=max_iter,
@@ -170,6 +213,7 @@ class LBFGS:
             self._history.extend(losses.tolist())
         if resume:
             self._opt_state = state
+            self._state_key = _params_key(params, kw.get("dtype"))
         return params
 
     @property
