@@ -115,10 +115,23 @@ def _cmd_eval(args):
     from nif_tpu.training import Checkpointer
     from nif_tpu.utils import rel_l2
 
+    if not args.ckpt_dir:
+        raise SystemExit("eval requires --ckpt-dir (a trained checkpoint)")
     model, cfg = _build_model(args)
     inputs, targets, _ = _load_pointwise(args, cfg)
     template = model.init(jax.random.key(0))
-    params = Checkpointer(args.ckpt_dir).restore(template=template)
+    ckpt = Checkpointer(args.ckpt_dir)
+    try:
+        params = ckpt.restore(template=template)
+    except Exception:
+        # interrupted training leaves a full-state checkpoint
+        # {params, opt_state, step}; restore untyped and take the params
+        full = ckpt.restore()
+        params = full["params"] if isinstance(full, dict) and "params" in full else full
+        params = jax.tree_util.tree_map(
+            lambda t, p: jnp.asarray(p, t.dtype).reshape(t.shape),
+            template, params,
+        )
     pred = predict(model, params, inputs, batch_size=args.batch_size)
     mse = float(jnp.mean((jnp.asarray(pred) - targets) ** 2))
     rl2 = float(rel_l2(pred, targets))

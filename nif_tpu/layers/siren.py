@@ -44,10 +44,9 @@ def siren_init(key, fan_in, fan_out, layer_position, omega_0, dtype=jnp.float32)
 def siren_apply(params, x, omega_0, layer_position):
     w = params["w"].astype(x.dtype)
     b = params["b"].astype(x.dtype)
-    y = x @ w + b
     if layer_position == "bottleneck":
         # Linear — matches reference nif/layers/siren.py:271-274.
-        return y
+        return x @ w + b
     return jnp.sin(jnp.asarray(omega_0, x.dtype) * (x @ w) + b)
 
 

@@ -54,3 +54,41 @@ def test_cli_lbfgs_flag(workdir):
         "--batch-size", "400", "--lbfgs", "20",
     ])
     assert np.isfinite(mse)
+
+
+def test_cli_eval_from_full_state_checkpoint(workdir, capsys):
+    """Interrupted training leaves a full-state {params, opt_state, step}
+    checkpoint as the latest; eval must fall back to extracting params
+    (ADVICE round-1) instead of dying on a template mismatch."""
+    import jax
+    import optax
+
+    import nif_tpu
+    from nif_tpu.training import Checkpointer, Trainer
+
+    cfg = json.loads((workdir / "config.json").read_text())
+    model = nif_tpu.NIF(cfg["cfg_shape_net"], cfg["cfg_parameter_net"])
+    trainer = Trainer(model, optax.adam(1e-3))
+    state = trainer.init(jax.random.key(0))
+    ckpt_dir = str(workdir / "ckpt_full")
+    ckpt = Checkpointer(ckpt_dir)
+    ckpt.save(3, {"params": state.params, "opt_state": state.opt_state,
+                  "step": state.step})
+    ckpt.wait()
+
+    mse = cli_main([
+        "eval", "--config", str(workdir / "config.json"),
+        "--data", str(workdir / "data.npz"), "--ckpt-dir", ckpt_dir,
+        "--batch-size", "128",
+    ])
+    assert np.isfinite(mse)
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "rel_l2" in parsed
+
+
+def test_cli_eval_requires_ckpt_dir(workdir):
+    with pytest.raises(SystemExit):
+        cli_main([
+            "eval", "--config", str(workdir / "config.json"),
+            "--data", str(workdir / "data.npz"),
+        ])
