@@ -1,7 +1,12 @@
 """Headline benchmark: coordinate points/sec/chip (fwd+bwd+update) through
 the ShapeNet eval, on the flagship NIFMultiScale model.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+``extra`` carries the roofline accounting (achieved TFLOP/s and MXU
+utilization vs the chip's bf16 peak — the BASELINE.md north-star, measured
+rather than argued) and the NIF-linear fused-train metric
+(``niflinear_train_points_per_sec_per_chip`` + its speedup over the plain
+XLA path on the same chip).
 
 ``value``       — points/sec/chip for a full training step (forward +
                   backward + adam) in the grouped TPU-first layout with the
@@ -120,6 +125,60 @@ def main():
     dt_pw = steady_state_time(step_pw, (params, opt_state), n1=5, n2=20)
     pps_pw = B / dt_pw
 
+    # ------------------- roofline: measured TFLOP/s + MXU utilization ------
+    from nif_tpu.utils.roofline import step_report
+
+    kind = jax.devices()[0].device_kind
+    peak = {  # bf16 peak TFLOP/s per chip
+        "TPU v5 lite": 197.0, "TPU v5e": 197.0,
+        "TPU v5p": 459.0, "TPU v5": 459.0,
+        "TPU v4": 275.0, "TPU v6 lite": 918.0, "TPU v6e": 918.0,
+    }.get(kind)
+    report = step_report(
+        model.cfg_shape_net, model.cfg_parameter_net, G, P, dt_grouped,
+        peak_tflops=peak,
+    )
+
+    # --------- NIF-linear fused train path (u = phi(x).a + b, tutorial 3) --
+    lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        {
+            "input_dim": 3, "output_dim": 1, "units": 128, "nlayers": 2,
+            "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+            "connectivity": "last_layer", "weight_init_factor": 1.0,
+        },
+        {
+            "input_dim": 4, "latent_dim": 128, "units": 128, "nlayers": 2,
+            "activation": "swish", "use_resblock": False, "omega_0": 30.0,
+        },
+        mixed_policy="mixed_bfloat16",
+    )
+    lp = lin.init(jax.random.key(1))
+    lo = tx.init(lp)
+
+    def lin_step(fused):
+        def step(state):
+            p, o = state
+            loss, grads = lin.mse_value_and_grad(p, t, x, u, fused=fused)
+            updates, o2 = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o2), loss
+        return step
+
+    dt_lin = steady_state_time(lin_step(True), (lp, lo))
+    dt_lin_xla = steady_state_time(lin_step(False), (lp, lo), n1=5, n2=20)
+    pps_lin = G * P / dt_lin
+
+    extra = {
+        "device_kind": kind,
+        "step_ms": round(dt_grouped * 1e3, 4),
+        "tflops_per_sec": round(report["tflops_per_sec"], 2),
+        "pnet_fraction": round(report["pnet_fraction"], 4),
+        "niflinear_train_points_per_sec_per_chip": round(pps_lin, 1),
+        "niflinear_vs_xla_path": round(dt_lin_xla / dt_lin, 2),
+    }
+    if peak is not None:
+        extra["mxu_utilization"] = round(report["mxu_utilization"], 4)
+        extra["peak_tflops_bf16"] = peak
+
     print(
         json.dumps(
             {
@@ -127,6 +186,7 @@ def main():
                 "value": round(pps_grouped, 1),
                 "unit": "points/s",
                 "vs_baseline": round(pps_grouped / pps_pw, 2),
+                "extra": extra,
             }
         )
     )
