@@ -33,9 +33,8 @@ def main(epochs=500, batch_size=512, seed=0):
         {"input_dim": 1, "latent_dim": 1, "units": 30, "nlayers": 2,
          "activation": "swish"},
     )
-    # batch_size must divide across the data axis
-    n_dev = len(mesh.devices.ravel())
-    batch_size = (batch_size // n_dev) * n_dev
+    # any batch_size works: the trainer rounds up to the data-axis size
+    # and zero-weight-pads, so nothing is dropped
     trainer = Trainer(model, optax.adam(2e-3), mesh=mesh)
     state = trainer.init(jax.random.key(seed))
     state = trainer.fit(state, inputs, targets, epochs=epochs,
