@@ -226,3 +226,17 @@ def test_tutorial8_sobolev_beats_value_only():
         f"expected value-only derivatives to be far worse: "
         f"{d_value_only} vs {d_sobolev}"
     )
+
+
+@pytest.mark.skipif(not SLOW, reason="set NIF_SLOW=1 for full-budget runs")
+def test_tutorial5_streamed_training_converges():
+    """Tutorial-5 anchor: shard-streamed training (global epoch counter,
+    prefetch thread, native gather) converges like in-memory training.
+    Calibrated: mean loss 1.4e-3 at 40 streamed epochs; anchor < 5e-3."""
+    import importlib
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                      "examples"))
+    mod = importlib.import_module("05_large_scale_training")
+    mse = mod.main(epochs=40)
+    assert mse < 5e-3, f"streamed mean loss {mse}"
