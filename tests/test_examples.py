@@ -93,3 +93,9 @@ def test_tutorial_5_grouped_streaming(tmp_path):
     mod = _imp("05_large_scale_training")
     final = mod.grouped_streaming_demo(workdir=str(tmp_path), epochs=2)
     assert np.isfinite(final)
+
+
+def test_tutorial_12_multihost():
+    sys.path.insert(0, os.path.abspath(os.path.join(EXAMPLES, "..")))
+    mod = _imp("12_multihost")
+    assert mod.main(n_processes=2, devices_per_process=2) == 0.0
