@@ -167,6 +167,18 @@ def main():
     dt_lin_xla = steady_state_time(lin_step(False), (lp, lo), n1=5, n2=20)
     pps_lin = G * P / dt_lin
 
+    # ----------------- serving: forward-only (fused kernel) ----------------
+    # The carry feeds back into the inputs so XLA cannot hoist the
+    # loop-invariant forward out of the timing scan.
+    def infer_step(state):
+        params, acc = state
+        pred = model.apply_grouped(params, t + acc * 1e-9, x)
+        acc = jnp.mean(pred.astype(jnp.float32))
+        return (params, acc), acc
+
+    dt_inf = steady_state_time(infer_step, (params, jnp.zeros(())))
+    pps_inf = G * P / dt_inf
+
     extra = {
         "device_kind": kind,
         "step_ms": round(dt_grouped * 1e3, 4),
@@ -174,6 +186,7 @@ def main():
         "pnet_fraction": round(report["pnet_fraction"], 4),
         "niflinear_train_points_per_sec_per_chip": round(pps_lin, 1),
         "niflinear_vs_xla_path": round(dt_lin_xla / dt_lin, 2),
+        "infer_points_per_sec_per_chip": round(pps_inf, 1),
     }
     if peak is not None:
         extra["mxu_utilization"] = round(report["mxu_utilization"], 4)

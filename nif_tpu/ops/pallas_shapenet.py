@@ -886,6 +886,11 @@ def niflinear_mse_grads(
     assert trunk_cfg.output_dim == so * K
     interpret = _resolve_interpret(interpret)
     TP = _pick_tile_linear(P, trunk_cfg)
+    if TP is None:
+        raise ValueError(
+            f"niflinear_mse_grads: no point tile divides P={P} "
+            f"(P must be a multiple of 8; check linear_fused_supported first)"
+        )
     n_w = len(ws)
     grid = (G, P // TP)
 
