@@ -122,6 +122,30 @@ class GroupedTrainer:
             for a in arrays
         )
 
+    def _residual_probs(self, state, t, x, u, alpha, mix):
+        """Per-point sampling distribution proportional to the current
+        squared residual (mixed with uniform for coverage): [G, P]."""
+        pred = self.model.apply_grouped(
+            state.params, jnp.asarray(t), jnp.asarray(x)
+        )
+        r = np.asarray(
+            jnp.mean(jnp.square(pred - jnp.asarray(u, pred.dtype)), axis=-1),
+            np.float64,
+        )
+        r = np.maximum(r, 0.0) ** alpha
+        rs = r.sum(axis=1, keepdims=True)
+        P = r.shape[1]
+        prop = np.where(rs > 0, r / np.maximum(rs, 1e-300), 1.0 / P)
+        return mix / P + (1.0 - mix) * prop
+
+    @staticmethod
+    def _gumbel_topk(probs: np.ndarray, k: int, rng) -> np.ndarray:
+        """Vectorized without-replacement sampling: per-row top-k of
+        log p + Gumbel noise (one Gumbel-max draw per kept point)."""
+        g = rng.gumbel(size=probs.shape)
+        keys = np.log(np.maximum(probs, 1e-300)) + g
+        return np.argpartition(-keys, k - 1, axis=1)[:, :k]
+
     def fit(
         self,
         state: TrainState,
@@ -134,7 +158,19 @@ class GroupedTrainer:
         point_batch: Optional[int] = None,
         callbacks: Sequence = (),
         verbose_every: int = 0,
+        point_sampling: str = "uniform",
+        resample_every: int = 10,
+        residual_alpha: float = 1.0,
+        residual_mix: float = 0.5,
     ) -> TrainState:
+        """``point_sampling="residual"`` (opt-in, beyond the reference)
+        subsamples points proportionally to the current squared residual
+        (refreshed every ``resample_every`` epochs, mixed
+        ``residual_mix``-uniform for coverage) — hard-point mining for
+        localized features; cf. NTK-guided implicit neural teaching
+        (arXiv:2511.15487). Note this optimizes a residual-reweighted
+        objective; final metrics should be evaluated on the full set.
+        """
         G, P = x.shape[0], x.shape[1]
         group_batch = min(group_batch or G, G)
         point_batch = min(point_batch or P, P)
@@ -146,22 +182,42 @@ class GroupedTrainer:
         needs_pad = (G % group_batch != 0) or sample_weight is not None
         from .trainer import pad_batch
 
+        if point_sampling not in ("uniform", "residual"):
+            raise ValueError(f"unknown point_sampling {point_sampling!r}")
+        probs = None
+
         for cb in callbacks:
             cb.on_train_begin(self)
         for epoch in range(epochs):
             t0 = time.perf_counter()
+            if point_sampling == "residual" and epoch % resample_every == 0:
+                probs = self._residual_probs(
+                    state, t, x, u, residual_alpha, residual_mix
+                )
             g_order = self._rng.permutation(G)
             losses, sizes = [], []
             for s in range(0, G, group_batch):
                 gsel = g_order[s : s + group_batch]
                 b = len(gsel)
-                psel = self._rng.choice(P, size=point_batch, replace=False)
-                w = (
-                    None
-                    if sample_weight is None
-                    else sample_weight[gsel][:, psel]
-                )
-                bt, bx, bu = t[gsel], x[gsel][:, psel], u[gsel][:, psel]
+                if probs is None:
+                    psel = self._rng.choice(P, size=point_batch, replace=False)
+                    w = (
+                        None
+                        if sample_weight is None
+                        else sample_weight[gsel][:, psel]
+                    )
+                    bt, bx, bu = t[gsel], x[gsel][:, psel], u[gsel][:, psel]
+                else:
+                    # per-group hard-point subsample: [b, point_batch]
+                    psel = self._gumbel_topk(probs[gsel], point_batch,
+                                             self._rng)
+                    rows = gsel[:, None]
+                    w = (
+                        None
+                        if sample_weight is None
+                        else sample_weight[rows, psel]
+                    )
+                    bt, bx, bu = t[gsel], x[rows, psel], u[rows, psel]
                 if needs_pad:
                     # per-group weights: scale/zero whole rows of [Gb, Pb]
                     (bt, bx, bu), w_rows = pad_batch((bt, bx, bu), None, b,

@@ -240,3 +240,31 @@ def test_tutorial5_streamed_training_converges():
     mod = importlib.import_module("05_large_scale_training")
     mse = mod.main(epochs=40)
     assert mse < 5e-3, f"streamed mean loss {mse}"
+
+
+@pytest.mark.skipif(not SLOW, reason="set NIF_SLOW=1 for full-budget runs")
+def test_residual_sampling_beats_uniform_at_convergence():
+    """Residual-guided point sampling (beyond reference; cf.
+    arXiv:2511.15487) wins in the refinement phase on localized features:
+    calibrated at 1500 epochs on the grouped pulse, uniform 4.5e-3 vs
+    residual 2.5e-3 (1.8x). At very short budgets uniform wins (noisy
+    residuals) — asserted margin is a conservative 1.2x."""
+    from nif_tpu.training import GroupedTrainer
+
+    tw = TravelingWave()
+    t, x, u = tw.as_grouped()
+
+    def run(sampling):
+        model = nif_tpu.NIF(CFG_S, CFG_P)
+        tr = GroupedTrainer(model, optax.adam(2e-3), seed=0)
+        st = tr.init(jax.random.key(0))
+        st = tr.fit(st, t, x, u, epochs=1500, group_batch=t.shape[0],
+                    point_batch=16, point_sampling=sampling,
+                    resample_every=20)
+        return tr.evaluate(st, t, x, u)
+
+    mse_uniform = run("uniform")
+    mse_residual = run("residual")
+    assert mse_residual * 1.2 < mse_uniform, (
+        f"residual {mse_residual} vs uniform {mse_uniform}"
+    )

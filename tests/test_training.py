@@ -473,3 +473,38 @@ def test_hybrid_mesh_replica_data_training():
     # single-slice fallback of make_hybrid_mesh presents the same axes
     hm = make_hybrid_mesh(ici_axes=("data",))
     assert hm.axis_names == ("replica", "data")
+
+
+def test_residual_point_sampling_smoke():
+    """Residual-guided point subsampling: per-group index path (weighted
+    too) runs and trains."""
+    model = nif_tpu.NIFMultiScale(
+        {"input_dim": 1, "output_dim": 1, "units": 8, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 5.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "tanh", "use_resblock": False, "omega_0": 5.0},
+    )
+    trainer = GroupedTrainer(model, optax.adam(1e-3))
+    state = trainer.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    G, P = 4, 64
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 1)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (G, P)).astype(np.float32)
+    state = trainer.fit(state, t, x, u, sample_weight=w, epochs=4,
+                        group_batch=2, point_batch=16,
+                        point_sampling="residual", resample_every=2)
+    assert np.isfinite(trainer.history["loss"][-1])
+    with pytest.raises(ValueError):
+        trainer.fit(state, t, x, u, epochs=1, point_sampling="bogus")
+
+
+def test_gumbel_topk_is_valid_subsample():
+    probs = np.full((3, 50), 1 / 50)
+    idx = GroupedTrainer._gumbel_topk(probs, 10, np.random.default_rng(0))
+    assert idx.shape == (3, 10)
+    for row in idx:
+        assert len(set(row.tolist())) == 10  # without replacement
+        assert row.min() >= 0 and row.max() < 50
