@@ -44,7 +44,7 @@ def main(epochs=5000, batch_size=512, seed=0):
     model = nif_tpu.NIFMultiScale(cfg_shape_net, cfg_parameter_net)
     # cosine-decayed lr matters for SIREN hypernetworks: swept 1e-4 flat vs
     # 1e-3 cosine -> MSE 2.3e-1 vs 6.1e-5 at the same budget.
-    steps = max(epochs * (len(inputs) // batch_size), 1)
+    steps = max(epochs * -(-len(inputs) // batch_size), 1)  # ceil: tail batches train too
     trainer = Trainer(model, optax.adam(optax.cosine_decay_schedule(1e-3, steps)))
     state = trainer.init(jax.random.key(seed))
     state = trainer.fit(

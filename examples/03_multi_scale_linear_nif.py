@@ -46,7 +46,7 @@ def main(epochs=2000, batch_size=1024, seed=0):
     model = nif_tpu.NIFMultiScaleLastLayerParameterized(
         cfg_shape_net, cfg_parameter_net
     )
-    steps = max(epochs * (len(inputs) // batch_size), 1)
+    steps = max(epochs * -(-len(inputs) // batch_size), 1)  # ceil: tail batches train too
     trainer = Trainer(model, optax.adam(optax.cosine_decay_schedule(1e-3, steps)))
     state = trainer.init(jax.random.key(seed))
     state = trainer.fit(
