@@ -263,9 +263,13 @@ class GroupedDataset:
         epochs: int = 1,
         seed: int = 0,
         prefetch: int = 2,
+        drop_remainder: bool = False,
     ):
         """Yield ``(epoch, t, x, u, w)`` with a fresh point subsample per
-        batch. Global epoch accounting, background shard prefetch."""
+        batch. Global epoch accounting, background shard prefetch. Tail
+        group batches within a shard file are yielded (smaller) unless
+        ``drop_remainder=True`` — note a consumer's jitted step recompiles
+        once for the tail shape."""
         if not self.files:
             raise ValueError("no shards opened")
         # numpy Generators are not thread-safe: the producer thread gets its
@@ -295,7 +299,8 @@ class GroupedDataset:
             w = payload.get("w")
             g = t.shape[0]
             order = rng.permutation(g)
-            for s in range(0, g - group_batch + 1, group_batch):
+            end = g - group_batch + 1 if drop_remainder else g
+            for s in range(0, max(end, 0), group_batch):
                 gsel = order[s : s + group_batch]
                 psel = rng.choice(P, size=point_batch, replace=False)
                 yield (

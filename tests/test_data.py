@@ -244,3 +244,24 @@ def test_gather_rows_raises_on_bad_index():
         gather_rows(src, np.array([0, 7], dtype=np.int64))
     with pytest.raises(IndexError):
         gather_rows(src, np.array([-1, 2], dtype=np.int64))
+
+
+def test_grouped_dataset_yields_tail_groups(tmp_path):
+    """Tail groups within a shard file are yielded, not dropped."""
+    from nif_tpu.data import GroupedDataset
+
+    rng = np.random.default_rng(0)
+    G, P = 7, 32
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 1)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    GroupedDataset.create_from_arrays(t, x, u, str(tmp_path / "tg"),
+                                      groups_per_file=4)  # files of 4 and 3
+    ds = GroupedDataset(str(tmp_path / "tg"))
+    seen = sum(bt.shape[0] for _, bt, _, _, _ in
+               ds.iter_batches(group_batch=4, point_batch=8, epochs=1))
+    assert seen == G  # 4 + 3
+    seen_drop = sum(bt.shape[0] for _, bt, _, _, _ in
+                    ds.iter_batches(group_batch=4, point_batch=8, epochs=1,
+                                    drop_remainder=True))
+    assert seen_drop == 4
