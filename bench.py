@@ -179,6 +179,23 @@ def main():
     dt_inf = steady_state_time(infer_step, (params, jnp.zeros(())))
     pps_inf = G * P / dt_inf
 
+    # -------- ROM decode: shared fixed mesh, phi amortized over snapshots --
+    # The tutorial-11 serving pattern: decode many latent snapshots onto ONE
+    # coordinate mesh — phi(x) is computed once and the reconstruction is a
+    # single large MXU matmul (models/linear.py apply_shared_mesh).
+    G_rom, P_rom = 256, 32768
+    t_rom = jnp.asarray(rng.standard_normal((G_rom, 4)), jnp.float32)
+    x_rom = jnp.asarray(rng.standard_normal((P_rom, 3)), jnp.float32)
+
+    def rom_step(state):
+        p, acc = state
+        pred = lin.apply_shared_mesh(p, t_rom + acc * 1e-9, x_rom)
+        acc = jnp.mean(pred.astype(jnp.float32))
+        return (p, acc), acc
+
+    dt_rom = steady_state_time(rom_step, (lp, jnp.zeros(())), n1=5, n2=20)
+    pps_rom = G_rom * P_rom / dt_rom
+
     extra = {
         "device_kind": kind,
         "step_ms": round(dt_grouped * 1e3, 4),
@@ -187,6 +204,7 @@ def main():
         "niflinear_train_points_per_sec_per_chip": round(pps_lin, 1),
         "niflinear_vs_xla_path": round(dt_lin_xla / dt_lin, 2),
         "infer_points_per_sec_per_chip": round(pps_inf, 1),
+        "rom_decode_points_per_sec_per_chip": round(pps_rom, 1),
     }
     if peak is not None:
         extra["mxu_utilization"] = round(report["mxu_utilization"], 4)

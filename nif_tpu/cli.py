@@ -125,13 +125,24 @@ def _cmd_eval(args):
         params = ckpt.restore(template=template)
     except Exception:
         # interrupted training leaves a full-state checkpoint
-        # {params, opt_state, step}; restore untyped and take the params
-        full = ckpt.restore()
-        params = full["params"] if isinstance(full, dict) and "params" in full else full
-        params = jax.tree_util.tree_map(
-            lambda t, p: jnp.asarray(p, t.dtype).reshape(t.shape),
-            template, params,
-        )
+        # {params, opt_state, step}; restore untyped and take the params.
+        # If that ALSO fails (corrupt checkpoint, version mismatch), chain
+        # the errors — implicit __context__ keeps the original visible —
+        # instead of surfacing only a confusing secondary tree mismatch.
+        try:
+            full = ckpt.restore()
+            params = (full["params"]
+                      if isinstance(full, dict) and "params" in full else full)
+            params = jax.tree_util.tree_map(
+                lambda t, p: jnp.asarray(p, t.dtype).reshape(t.shape),
+                template, params,
+            )
+        except Exception as e2:
+            raise RuntimeError(
+                f"could not restore checkpoint from {args.ckpt_dir!r} as "
+                "either a params-only or a full-state tree (both attempts "
+                "shown above)"
+            ) from e2
     pred = predict(model, params, inputs, batch_size=args.batch_size)
     mse = float(jnp.mean((jnp.asarray(pred) - targets) ** 2))
     rl2 = float(rel_l2(pred, targets))

@@ -256,6 +256,19 @@ class GroupedDataset:
         self.files = files[host_id::num_hosts]
         return self
 
+    def steps_per_epoch(self, group_batch: int,
+                        drop_remainder: bool = True) -> int:
+        """Number of batches one epoch of ``iter_batches`` yields for this
+        host's stripe. Multi-host loops need this to truncate every host to
+        the same step count (collectives deadlock if one host takes more
+        steps than another)."""
+        total = 0
+        for f in self.files:
+            with np.load(f) as z:
+                g = z["t"].shape[0]  # t is [G, pi] — tiny
+            total += g // group_batch if drop_remainder else -(-g // group_batch)
+        return total
+
     def iter_batches(
         self,
         group_batch: int,

@@ -136,21 +136,35 @@ def fused_supported(cfg: ShapeNetConfig, variant: str, P: int) -> bool:
 _VMEM_RESIDUAL_BUDGET = 8 * 1024 * 1024
 
 
-def _pick_tile(P: int, cfg: ShapeNetConfig = None, backward: bool = True):
+def _pick_tile(P: int, cfg: ShapeNetConfig = None, backward: bool = True,
+               itemsize: int = 2):
     """Largest point-tile that divides P within the VMEM budget.
 
     The backward/train kernels hold every layer input AND pre-activation
-    live at once (f32); the forward kernel holds only ~3 activations, so
-    it can take 2-4x larger tiles (measured ~13% faster at TP=8192 for the
-    width-128 chain).
+    live at once (compute dtype); the forward kernel holds only ~3
+    activations, so it can take 2-4x larger tiles (measured ~13% faster at
+    TP=8192 for the width-128 chain).
+
+    The constants are hardware-calibrated for bf16 compute. f32 compute
+    (``itemsize=4`` — the fine-tuning/accuracy path) doubles the lane-
+    padded x/target double buffers (narrow dims pad to 128 lanes), which
+    the bf16 headroom absorbed: charge them explicitly so e.g. the
+    width-128 train kernel drops TP 2048 -> 1024 instead of exceeding the
+    16 MB scoped-vmem stack by ~3 MB at real-compile time.
     """
+    # x + target tiles pad to 128 lanes and double-buffer: 4 * 128 lanes
+    # per row. Charged only for f32 — the bf16 constants below absorb
+    # their (half-size) pads in the budget's headroom, and measured usage
+    # (18.84M at f32/TP=2048 vs <16M at bf16/TP=2048, width-128 depth-2)
+    # confirms the f32 surcharge must count the full padded tiles.
+    pad_extra = 4 * 128 * itemsize if itemsize > 2 else 0
     if cfg is not None:
         if backward:
             n_sine = 1 + (2 if cfg.use_resblock else 1) * cfg.nlayers
-            bytes_per_row = 2 * n_sine * cfg.units * 4  # ins + zs, f32
+            bytes_per_row = 2 * n_sine * cfg.units * 4 + pad_extra
             cap = 2048
         else:
-            bytes_per_row = 3 * cfg.units * 4  # cur/next activation + temp
+            bytes_per_row = 3 * cfg.units * 4 + pad_extra
             cap = 8192
         cap = max(min(cap, _VMEM_RESIDUAL_BUDGET // max(bytes_per_row, 1)), 8)
     else:
@@ -308,7 +322,7 @@ def _unscale_grads(dws, cfg: ShapeNetConfig, variant: str):
 def _fwd_pallas(ws, bs, x, cfg: ShapeNetConfig, variant: str, interpret: bool):
     G, P, si = x.shape
     so = cfg.output_dim
-    TP = _pick_tile(P, cfg, backward=False)
+    TP = _pick_tile(P, cfg, backward=False, itemsize=x.dtype.itemsize)
     n_w = len(ws)
     grid = (G, P // TP)
 
@@ -477,7 +491,7 @@ def _bwd_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, *refs):
 def _bwd_pallas(ws, bs, x, g_out, cfg, variant, interpret):
     G, P, si = x.shape
     so = cfg.output_dim
-    TP = _pick_tile(P, cfg)
+    TP = _pick_tile(P, cfg, itemsize=x.dtype.itemsize)
     n_w = len(ws)
     grid = (G, P // TP)
 
@@ -610,7 +624,7 @@ def shapenet_mse_grads(
     ws, bs = _split_chain(parts)
     ws = _prescale(ws, cfg, variant)
     bs3 = [b[:, None, :] for b in bs]
-    TP = _pick_tile(P, cfg)
+    TP = _pick_tile(P, cfg, itemsize=x.dtype.itemsize)
     n_w = len(ws)
     grid = (G, P // TP)
     has_w = weight is not None

@@ -52,61 +52,68 @@ class GroupedTrainer:
         self._rng = np.random.default_rng(seed)
         self.history: Dict[str, List[float]] = {"epoch": [], "loss": []}
 
-        def value_and_grad(params, t, x, u, w):
+        def value_and_grad(params, t, x, u, w, rw):
             if mesh is None:
                 return model.mse_value_and_grad(
-                    params, t, x, u, weight=w, fused=fused, use_reg=use_reg
+                    params, t, x, u, weight=w, fused=fused, use_reg=use_reg,
+                    reg_weight=rw,
                 )
             # Pallas kernels are opaque to GSPMD: under a mesh the fused
             # train kernel must run per-shard via shard_map, with the
             # gradient/loss mean over the data axis as explicit pmeans
-            # (the collectives ride ICI).
+            # (the collectives ride ICI). The scaled pad weights (MSE) and
+            # reg row weights carry a *global* n_target/n_real scale, so
+            # per-shard means + pmean recover the exact global means.
             from jax.sharding import PartitionSpec as P
 
             axes = tuple(a for a in mesh.axis_names if a in ("replica", "data"))
             batch_spec = P(axes if axes else mesh.axis_names[:1])
 
-            def local(params, t, x, u, w):
+            def local(params, t, x, u, w, rw):
                 loss, grads = model.mse_value_and_grad(
-                    params, t, x, u,
-                    weight=None if w is None else w,
-                    fused=fused, use_reg=use_reg,
+                    params, t, x, u, weight=w, fused=fused, use_reg=use_reg,
+                    reg_weight=rw,
                 )
                 for ax in axes:
                     loss = jax.lax.pmean(loss, ax)
                     grads = jax.lax.pmean(grads, ax)
                 return loss, grads
 
-            in_specs = (P(), batch_spec, batch_spec, batch_spec,
-                        None if w is None else batch_spec)
-            if w is None:
-                fn = lambda p, t_, x_, u_: local(p, t_, x_, u_, None)
-                return jax.shard_map(
-                    fn, mesh=mesh, in_specs=in_specs[:4],
-                    out_specs=(P(), P()),
-                    # pallas_call out_shapes carry no varying-mesh-axis
-                    # info; the pmeans above make the outputs replicated.
-                    check_vma=False,
-                )(params, t, x, u)
+            # shard_map in_specs can't take None pytrees for absent
+            # optionals — pass only the present ones positionally.
+            present = [a for a in (w, rw) if a is not None]
+            flags = (w is not None, rw is not None)
+
+            def fn(p, t_, x_, u_, *opt):
+                it = iter(opt)
+                w_ = next(it) if flags[0] else None
+                rw_ = next(it) if flags[1] else None
+                return local(p, t_, x_, u_, w_, rw_)
+
+            in_specs = (P(), batch_spec, batch_spec, batch_spec) + tuple(
+                batch_spec for _ in present
+            )
             return jax.shard_map(
-                local, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+                fn, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+                # pallas_call out_shapes carry no varying-mesh-axis
+                # info; the pmeans above make the outputs replicated.
                 check_vma=False,
-            )(params, t, x, u, w)
+            )(params, t, x, u, *present)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(state: TrainState, t, x, u, w=None):
-            loss, grads = value_and_grad(state.params, t, x, u, w)
+        def step(state: TrainState, t, x, u, w=None, rw=None):
+            loss, grads = value_and_grad(state.params, t, x, u, w, rw)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, opt_state, state.step + 1), loss
 
         self._step = step
 
-    def step(self, state: TrainState, t, x, u, w=None):
+    def step(self, state: TrainState, t, x, u, w=None, rw=None):
         """One jitted training step on a (t, x, u[, w]) group batch —
         for custom loops (e.g. streaming from GroupedDataset)."""
         return self._step(state, *self._put(np.asarray(t), np.asarray(x),
-                                            np.asarray(u), w))
+                                            np.asarray(u), w, rw))
 
     def init(self, key) -> TrainState:
         params = self.model.init(key)
@@ -124,14 +131,26 @@ class GroupedTrainer:
 
     def _residual_probs(self, state, t, x, u, alpha, mix):
         """Per-point sampling distribution proportional to the current
-        squared residual (mixed with uniform for coverage): [G, P]."""
-        pred = self.model.apply_grouped(
-            state.params, jnp.asarray(t), jnp.asarray(x)
-        )
-        r = np.asarray(
-            jnp.mean(jnp.square(pred - jnp.asarray(u, pred.dtype)), axis=-1),
-            np.float64,
-        )
+        squared residual (mixed with uniform for coverage): [G, P].
+
+        Evaluated in group chunks (~4M points each) so refreshing the
+        distribution never needs more device memory than a training step —
+        the feature targets datasets far larger than one forward pass.
+        """
+        G, P = x.shape[0], x.shape[1]
+        chunk = max(1, 4_000_000 // max(P, 1))
+        r = np.empty((G, P), np.float64)
+        for s in range(0, G, chunk):
+            sl = slice(s, min(s + chunk, G))
+            pred = self.model.apply_grouped(
+                state.params, jnp.asarray(t[sl]), jnp.asarray(x[sl])
+            )
+            r[sl] = np.asarray(
+                jnp.mean(
+                    jnp.square(pred - jnp.asarray(u[sl], pred.dtype)), axis=-1
+                ),
+                np.float64,
+            )
         r = np.maximum(r, 0.0) ** alpha
         rs = r.sum(axis=1, keepdims=True)
         P = r.shape[1]
@@ -180,7 +199,7 @@ class GroupedTrainer:
         n_div = 1 if self.mesh is None else batch_axis_size(self.mesh)
         group_batch += (-group_batch) % n_div
         needs_pad = (G % group_batch != 0) or sample_weight is not None
-        from .trainer import pad_batch
+        from .trainer import pad_batch, reg_row_weights
 
         if point_sampling not in ("uniform", "residual"):
             raise ValueError(f"unknown point_sampling {point_sampling!r}")
@@ -218,6 +237,7 @@ class GroupedTrainer:
                         else sample_weight[rows, psel]
                     )
                     bt, bx, bu = t[gsel], x[rows, psel], u[rows, psel]
+                rw = None
                 if needs_pad:
                     # per-group weights: scale/zero whole rows of [Gb, Pb]
                     (bt, bx, bu), w_rows = pad_batch((bt, bx, bu), None, b,
@@ -232,8 +252,10 @@ class GroupedTrainer:
                         ) * w_rows[:, None]
                     )
                     w = np.ascontiguousarray(w_full, dtype=np.float32)
-                bt, bx, bu, bw = self._put(bt, bx, bu, w)
-                state, loss = self._step(state, bt, bx, bu, bw)
+                    if self.use_reg:
+                        rw = reg_row_weights(b, group_batch)
+                bt, bx, bu, bw, brw = self._put(bt, bx, bu, w, rw)
+                state, loss = self._step(state, bt, bx, bu, bw, brw)
                 losses.append(loss)
                 sizes.append(b)
             epoch_loss = (

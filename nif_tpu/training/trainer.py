@@ -28,7 +28,8 @@ from ..parallel.mesh import (
     put_replicated,
 )
 
-__all__ = ["TrainState", "Trainer", "make_train_step"]
+__all__ = ["TrainState", "Trainer", "make_train_step", "pad_batch",
+           "reg_row_weights"]
 
 
 def pad_batch(arrays, weight, n_real: int, n_target: int):
@@ -37,7 +38,10 @@ def pad_batch(arrays, weight, n_real: int, n_target: int):
     Real rows get their weight scaled by ``n_target / n_real`` so the
     mean-reduced weighted MSE over the padded batch equals the exact mean
     over the real rows — tail batches and mesh-divisibility padding change
-    neither the loss value nor the gradient.
+    neither the loss value nor the gradient. Batch-mean regularization
+    terms (act_l1/l2, jac_reg) need the same correction *without* the
+    user's sample weights folded in; pass ``reg_row_weights`` as the
+    model's ``reg_weight``.
     """
     scale = n_target / n_real
     w = (np.ones(n_real, np.float32) if weight is None
@@ -52,6 +56,16 @@ def pad_batch(arrays, weight, n_real: int, n_target: int):
         for a in arrays
     )
     return padded, np.concatenate([w, np.zeros(pad, np.float32)])
+
+
+def reg_row_weights(n_real: int, n_target: int) -> np.ndarray:
+    """Per-row weights making a padded batch's batch-mean regularization
+    terms exact: ``n_target/n_real`` for real rows, 0 for filler, so
+    ``mean(per_row * w)`` over ``n_target`` rows equals the true mean over
+    the ``n_real`` real rows."""
+    w = np.zeros(n_target, np.float32)
+    w[:n_real] = n_target / n_real
+    return w
 
 
 class TrainState:
@@ -76,16 +90,23 @@ jax.tree_util.register_pytree_node(
 
 
 def make_loss_fn(model, use_reg: bool = True) -> Callable:
-    """Weighted-MSE loss closure over (params, inputs, targets, weight)."""
+    """Weighted-MSE loss closure over (params, inputs, targets, weight).
 
-    def loss_fn(params, inputs, targets, weight=None):
+    ``reg_w`` reweights the rows of batch-mean regularization terms (see
+    ``reg_row_weights``); the MSE term is already exact under zero-weight
+    padding via ``weight``.
+    """
+
+    def loss_fn(params, inputs, targets, weight=None, reg_w=None):
         pred = model.apply(params, inputs)
         err = jnp.square(pred - targets.astype(pred.dtype))
         if weight is not None:
             err = err * weight[..., None].astype(pred.dtype)
         loss = jnp.mean(err)
         if use_reg:
-            loss = loss + model.regularization_loss(params, inputs)
+            loss = loss + model.regularization_loss(
+                params, inputs, reg_weight=reg_w
+            )
         return loss
 
     return loss_fn
@@ -98,8 +119,10 @@ def make_train_step(model, tx: optax.GradientTransformation, use_reg: bool = Tru
     # donate the state: params/opt_state update in place, halving the
     # step's HBM allocation traffic
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, inputs, targets, weight=None):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, inputs, targets, weight)
+    def step(state: TrainState, inputs, targets, weight=None, reg_w=None):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, inputs, targets, weight, reg_w
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -245,12 +268,15 @@ class Trainer:
                 b = len(sel)
                 w = None if sample_weight is None else sample_weight[sel]
                 bi, bt = inputs[sel], targets[sel]
+                rw = None
                 if needs_pad:
                     # keep the jitted step signature stable: once any batch
                     # carries weights, all of them do
                     (bi, bt), w = pad_batch((bi, bt), w, b, batch_size)
-                bi, bt, bw = self._put_batch(bi, bt, w)
-                state, loss = self._step(state, bi, bt, bw)
+                    if self.use_reg:
+                        rw = reg_row_weights(b, batch_size)
+                bi, bt, bw, brw = self._put_batch(bi, bt, w, rw)
+                state, loss = self._step(state, bi, bt, bw, brw)
                 losses.append(loss)
                 sizes.append(b)
             epoch_loss = (

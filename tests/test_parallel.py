@@ -79,16 +79,17 @@ def test_dryrun_multichip_bootstraps_bare_env():
     import subprocess
     import sys
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    env["PYTHONPATH"] = "/root/repo" + (
+    env["PYTHONPATH"] = repo_root + (
         ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
     )
     out = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         env=env, capture_output=True, text=True, timeout=600,
-        cwd="/root/repo",
+        cwd=repo_root,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout

@@ -56,6 +56,75 @@ def test_regularized_mse_value_and_grad(family, reg, fused):
         assert np.all(np.isfinite(np.asarray(g, np.float32)))
 
 
+@pytest.mark.parametrize("reg", REGS, ids=lambda r: next(iter(r)))
+def test_padded_batch_regularization_exact(reg):
+    """Zero-weight tail padding must not bias batch-mean regularization
+    terms (act/jac): padded loss+grads == exact loss+grads on the real
+    rows (round-2 review finding)."""
+    from nif_tpu.training.trainer import pad_batch, reg_row_weights
+
+    model = _make_model("multiscale", **reg)
+    params = model.init(jax.random.key(1))
+    t, x, u = _batch(G=3, P=16)
+    loss_exact, grads_exact = model.mse_value_and_grad(params, t, x, u,
+                                                       fused=False)
+    # pad 3 real groups to 4 with a zero-weight filler copy
+    (tp, xp, up), w_rows = pad_batch((t, x, u), None, 3, 4)
+    w = np.broadcast_to(w_rows[:, None], (4, 16))
+    rw = reg_row_weights(3, 4)
+    loss_pad, grads_pad = model.mse_value_and_grad(
+        params, tp, xp, up, weight=w, fused=False, reg_weight=rw
+    )
+    assert float(loss_pad) == pytest.approx(float(loss_exact), rel=1e-5)
+    for ge, gp in zip(jax.tree_util.tree_leaves(grads_exact),
+                      jax.tree_util.tree_leaves(grads_pad)):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(ge),
+                                   rtol=2e-4, atol=1e-7)
+    # without reg_weight the padded batch-mean reg terms ARE biased
+    # (guards against the fix silently regressing to the unweighted path);
+    # compare the reg component directly — it can be tiny vs the MSE
+    if "act_l2_reg" in reg or "jac_reg" in reg:
+        reg_exact = float(model.regularization_loss(params, t=t))
+        reg_bad = float(model.regularization_loss(params, t=tp))
+        reg_fixed = float(
+            model.regularization_loss(params, t=tp, reg_weight=rw)
+        )
+        assert reg_fixed == pytest.approx(reg_exact, rel=1e-5)
+        assert reg_bad != pytest.approx(reg_exact, rel=1e-6)
+
+
+def test_grouped_trainer_tail_batch_reg_exact():
+    """GroupedTrainer end-to-end: with a tail group batch (G=3,
+    group_batch=2) and activity reg, the recorded epoch loss equals the
+    size-weighted average of the EXACT per-batch losses (replaying the
+    trainer's rng draws) — i.e. the padded filler group contributes
+    nothing to MSE or reg."""
+    t, x, u = _batch(G=3, P=8)
+    model = _make_model("multiscale", act_l2_reg=1e-2)
+    tr = nif_tpu.training.GroupedTrainer(model, optax.adam(1e-3), seed=7)
+    state0 = tr.init(jax.random.key(0))
+    tr.fit(state0, t, x, u, epochs=1, group_batch=2, point_batch=8)
+    epoch_loss = tr.history["loss"][-1]
+
+    # replay: same rng stream as fit (seed=7: permutation, then one
+    # point-choice per group batch)
+    rng = np.random.default_rng(7)
+    order = rng.permutation(3)
+    psel1 = rng.choice(8, size=8, replace=False)
+    psel2 = rng.choice(8, size=8, replace=False)
+    model2 = _make_model("multiscale", act_l2_reg=1e-2)
+    tr2 = nif_tpu.training.GroupedTrainer(model2, optax.adam(1e-3), seed=7)
+    state = tr2.init(jax.random.key(0))
+    s1 = order[:2]
+    state, l1 = tr2.step(state, t[s1], x[s1][:, psel1], u[s1][:, psel1])
+    s2 = order[2:]
+    l2, _ = model2.mse_value_and_grad(
+        state.params, t[s2], x[s2][:, psel2], u[s2][:, psel2], fused=False
+    )
+    expect = np.average([float(l1), float(l2)], weights=[2, 1])
+    assert epoch_loss == pytest.approx(expect, rel=1e-5)
+
+
 @pytest.mark.parametrize("family", ["nif", "multiscale", "linear"])
 def test_regularized_grouped_trainer_step(family):
     """The round-1 crash repro: reg x model x GroupedTrainer default path."""
