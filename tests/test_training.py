@@ -399,6 +399,53 @@ def test_grouped_mesh_indivisible_group_batch():
     assert np.isfinite(trainer.history["loss"][-1])
 
 
+def test_grouped_mesh_padded_reg_exact():
+    """Mesh + group padding + activity reg: the shard_map path must carry
+    the reg row weights (new in_specs packing) and stay exact — epoch loss
+    == full MSE + full-batch reg with frozen params."""
+    mesh = make_mesh()
+    model = nif_tpu.NIFMultiScale(
+        {"input_dim": 1, "output_dim": 1, "units": 8, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 1.0},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "tanh", "use_resblock": False, "omega_0": 30.0,
+         "act_l2_reg": 1e-2},
+    )
+    trainer = GroupedTrainer(model, optax.sgd(0.0), mesh=mesh)
+    state = trainer.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    G, P = 10, 32
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 1)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    # group_batch=3 rounds to 8 on the 8-device mesh: batches of 8 real and
+    # 2 real + 6 zero-weight pad groups
+    state = trainer.fit(state, t, x, u, epochs=1, group_batch=3, point_batch=P)
+    direct = trainer.evaluate(state, t, x, u)
+    reg = float(model.regularization_loss(state.params, t=t))
+    assert trainer.history["loss"][-1] == pytest.approx(direct + reg, rel=1e-5)
+
+
+def test_trainer_mesh_padded_reg_exact():
+    """Point-wise Trainer under a mesh with a padded tail batch and
+    activity reg: epoch loss == full MSE + full-batch reg (frozen params)."""
+    mesh = make_mesh()
+    cfg_p = dict(CFG_P, act_l2_reg=1e-2)
+    model = nif_tpu.NIF(CFG_S, cfg_p)
+    trainer = Trainer(model, optax.sgd(0.0), mesh=mesh)
+    state = trainer.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    inputs = rng.standard_normal((10, 2)).astype(np.float32)
+    targets = rng.standard_normal((10, 1)).astype(np.float32)
+    state = trainer.fit(state, inputs, targets, epochs=1, batch_size=8,
+                        shuffle=False)
+    assert state.step == 2
+    direct = trainer.evaluate(state, inputs, targets)
+    reg = float(model.regularization_loss(state.params, inputs))
+    assert trainer.history["loss"][-1] == pytest.approx(direct + reg, rel=1e-5)
+
+
 def test_grouped_weighted_tail_loss_exact():
     """Area-weighted case: padding must preserve the weighted mean."""
     model = nif_tpu.NIFMultiScale(
