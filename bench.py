@@ -193,7 +193,8 @@ def main():
         acc = jnp.mean(pred.astype(jnp.float32))
         return (p, acc), acc
 
-    dt_rom = steady_state_time(rom_step, (lp, jnp.zeros(())), n1=5, n2=20)
+    # steps are sub-ms: long scans (n2=160) keep the measurement stable
+    dt_rom = steady_state_time(rom_step, (lp, jnp.zeros(())), n1=40, n2=160)
     pps_rom = G_rom * P_rom / dt_rom
 
     extra = {

@@ -59,6 +59,7 @@ def sparsity(params: Any, prunable_only: bool = True) -> float:
 class PruningState(NamedTuple):
     inner: Any
     step: jnp.ndarray
+    mask: Any
 
 
 def MagnitudePruning(
@@ -71,38 +72,61 @@ def MagnitudePruning(
     """Wrap an optimizer with a gradual magnitude-pruning schedule.
 
     Sparsity ramps cubically from 0 to ``final_sparsity`` between
-    ``begin_step`` and ``end_step`` (tfmot ``PolynomialDecay`` semantics),
-    recomputing the mask every ``update_every`` steps and projecting the
-    updated params back onto it every step.
+    ``begin_step`` and ``end_step`` (tfmot ``PolynomialDecay`` semantics).
+    The mask is recomputed (a full |w| sort per prunable tensor) only every
+    ``update_every`` steps and HELD FIXED in between — tfmot semantics, and
+    it keeps the O(n log n) sort off the hot path; every step still
+    projects the updated params onto the current mask.
     """
 
     def schedule(step):
         t = jnp.clip((step - begin_step) / max(end_step - begin_step, 1), 0.0, 1.0)
         return final_sparsity * (1.0 - (1.0 - t) ** 3)
 
+    def fresh_mask(params, s):
+        def mask_of(p):
+            if not _prunable(p):
+                return jnp.ones((), jnp.bool_)  # placeholder leaf, unused
+            k = jnp.maximum((p.size * (1.0 - s)).astype(jnp.int32), 1)
+            absval = jnp.abs(p).ravel()
+            thresh = jnp.sort(absval)[absval.size - k]
+            return jnp.abs(p) >= thresh
+
+        return jax.tree_util.tree_map(mask_of, params)
+
     def init_fn(params):
-        return PruningState(inner.init(params), jnp.zeros((), jnp.int32))
+        ones = jax.tree_util.tree_map(
+            lambda p: (jnp.ones(p.shape, jnp.bool_) if _prunable(p)
+                       else jnp.ones((), jnp.bool_)),
+            params,
+        )
+        return PruningState(inner.init(params), jnp.zeros((), jnp.int32), ones)
 
     def update_fn(updates, state, params=None):
         if params is None:
             raise ValueError("MagnitudePruning requires params in update()")
         updates, inner_state = inner.update(updates, state.inner, params)
         step = state.step + 1
-        s = schedule(step)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        # Recompute on the update_every cadence AND at end_step (tfmot
+        # always prunes at the ramp's end so final_sparsity is reached
+        # even when the cadence overshoots a short ramp).
+        recompute = (
+            (step % update_every == 1) | (update_every <= 1)
+            | (step == end_step)
+        )
+        mask = jax.lax.cond(
+            recompute,
+            lambda: fresh_mask(new_params, schedule(step)),
+            lambda: state.mask,
+        )
 
-        def project(u, p):
+        def project(u, p, m):
             if not _prunable(p):
                 return u
-            new_p = p + u
-            k = jnp.maximum(
-                (p.size * (1.0 - s)).astype(jnp.int32), 1
-            )
-            absval = jnp.abs(new_p).ravel()
-            thresh = jnp.sort(absval)[absval.size - k]
-            mask = (jnp.abs(new_p) >= thresh).astype(p.dtype)
-            return new_p * mask - p  # update that lands on the masked value
+            return (p + u) * m.astype(p.dtype) - p  # update landing on mask
 
-        updates = jax.tree_util.tree_map(project, updates, params)
-        return updates, PruningState(inner_state, step)
+        updates = jax.tree_util.tree_map(project, updates, params, mask)
+        return updates, PruningState(inner_state, step, mask)
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -121,7 +121,27 @@ def sobolev_loss(
         terms["hessian_mse"] = jnp.mean(jnp.square(hess - target_hess))
     else:
         y, jac = output_and_jacobian(fn, inputs, y_index, x_index)
-    terms["value_mse"] = jnp.mean(jnp.square(y - targets))
+    # The value term accepts targets for the FULL output or, with y_index
+    # set, for just the selected columns; anything else raises. A silent
+    # broadcast (e.g. y [B,2] vs targets [B,1]) would otherwise return a
+    # plausible-looking wrong loss.
+    tshape = jnp.shape(targets)
+    if tshape == y.shape:
+        y_val = y
+    elif y_index is not None:
+        y_val = y[:, _as_index_array(y_index, y.shape[-1])]
+        if y_val.shape != tshape:
+            raise ValueError(
+                f"sobolev_loss: value targets shape {tshape} matches "
+                f"neither the full output {y.shape} nor the "
+                f"y_index-selected output {y_val.shape}"
+            )
+    else:
+        raise ValueError(
+            f"sobolev_loss: value targets shape {tshape} does not match "
+            f"the output shape {y.shape}"
+        )
+    terms["value_mse"] = jnp.mean(jnp.square(y_val - targets))
     if target_jac is not None:
         terms["jacobian_mse"] = jnp.mean(jnp.square(jac - target_jac))
     total = w_value * terms["value_mse"]

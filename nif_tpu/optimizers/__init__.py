@@ -78,10 +78,16 @@ def adabelief(
     lr = learning_rate
     if total_steps and total_steps > 0:
         lr = warmup_linear_decay(learning_rate, total_steps, warmup_proportion, min_lr)
-    tx = optax.adabelief(lr, b1=b1, b2=b2, eps=eps)
     if weight_decay:
-        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
-    return tx
+        # Decoupled (AdamW-style) decay, matching the reference and
+        # adabelief_full: the decay term bypasses the belief moments, so it
+        # must sit AFTER the scaling, before the learning rate.
+        return optax.chain(
+            optax.scale_by_belief(b1=b1, b2=b2, eps=eps),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(lr),
+        )
+    return optax.adabelief(lr, b1=b1, b2=b2, eps=eps)
 
 
 def lion(

@@ -45,7 +45,13 @@ def scale_by_belief(
 
     def init_fn(params):
         zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
-        return BeliefState(jnp.zeros((), jnp.int32), zeros(), zeros(), zeros())
+        # s_max only exists under amsgrad — a None subtree otherwise, so
+        # the state doesn't carry (and donate/replicate) a dead
+        # params-sized buffer every step.
+        return BeliefState(
+            jnp.zeros((), jnp.int32), zeros(), zeros(),
+            zeros() if amsgrad else None,
+        )
 
     def update_fn(updates, state, params=None):
         del params

@@ -48,7 +48,12 @@ def predict(
             )
         out = np.asarray(fn(params, jnp.asarray(chunk)))
         outs.append(out[: batch_size - pad])
-    return np.concatenate(outs) if outs else np.zeros((0,))
+    if outs:
+        return np.concatenate(outs)
+    # Empty input keeps the (0, so_dim) shape/dtype every non-empty call
+    # returns, so downstream reshape/concatenate over shards never hits an
+    # empty-shard special case.
+    return np.zeros((0, model.so_dim), np.dtype(model.policy.param_dtype))
 
 
 def export_apply(

@@ -12,12 +12,21 @@ __all__ = ["rel_l2", "mse", "rmse"]
 
 
 def rel_l2(pred, target, axis=None) -> jnp.ndarray:
-    """||pred - target||_2 / ||target||_2 (over everything by default)."""
+    """||pred - target||_2 / ||target||_2 (over everything by default).
+
+    Computed in (at least) float32 regardless of input dtypes: the accuracy
+    bar (rel-L2 < 1e-3) sits below bf16 resolution, so downcasting the
+    target to a bf16 pred's dtype would measure quantization, not error.
+    """
     pred = jnp.asarray(pred)
-    target = jnp.asarray(target, pred.dtype)
+    dt = jnp.promote_types(
+        jnp.promote_types(pred.dtype, jnp.asarray(target).dtype), jnp.float32
+    )
+    pred = pred.astype(dt)
+    target = jnp.asarray(target, dt)
     num = jnp.sqrt(jnp.sum(jnp.square(pred - target), axis=axis))
     den = jnp.sqrt(jnp.sum(jnp.square(target), axis=axis))
-    return num / jnp.maximum(den, jnp.finfo(pred.dtype).tiny)
+    return num / jnp.maximum(den, jnp.finfo(dt).tiny)
 
 
 def mse(pred, target) -> jnp.ndarray:

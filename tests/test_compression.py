@@ -86,3 +86,30 @@ def test_quantized_model_accuracy():
     u_full = np.asarray(model.apply(params, inputs))
     u_q = np.asarray(model.apply(dequantize_params(quantize_params(params)), inputs))
     assert np.max(np.abs(u_full - u_q)) < 0.1 * (np.max(np.abs(u_full)) + 1e-6) + 0.05
+
+
+def test_magnitude_pruning_mask_held_between_updates():
+    """update_every holds the mask fixed between recomputes (tfmot
+    semantics — round-2 review: the knob was accepted but ignored)."""
+    import optax
+    from nif_tpu.compression import MagnitudePruning
+
+    tx = MagnitudePruning(optax.sgd(0.1), final_sparsity=0.5,
+                          begin_step=0, end_step=4, update_every=4)
+    p = {"w": jnp.asarray(np.random.default_rng(0)
+                          .standard_normal((8, 8)), jnp.float32)}
+    st = tx.init(p)
+    masks = []
+    for i in range(6):
+        g = {"w": jnp.full((8, 8), 0.05, jnp.float32)}
+        u, st = tx.update(g, st, p)
+        p = optax.apply_updates(p, u)
+        masks.append(np.asarray(st.mask["w"]))
+    # steps 1-3 share the step-1 mask; step 4 recomputes (end_step always
+    # prunes), step 5 recomputes on the update_every cadence
+    assert np.array_equal(masks[0], masks[1])
+    assert np.array_equal(masks[0], masks[2])
+    assert not np.array_equal(masks[2], masks[3])  # denser -> sparser ramp
+    # after the ramp the kept fraction honors the schedule
+    from nif_tpu.compression import sparsity
+    assert sparsity(p) >= 0.4

@@ -101,3 +101,27 @@ def test_jac_reg_model_config_path():
     )
     reg = model.regularization_loss(params, inputs)
     assert float(reg) > 0
+
+
+def test_sobolev_loss_rejects_silent_broadcast():
+    """targets [B,1] vs output [B,2] must raise, not broadcast (round-2
+    review finding); with y_index it selects the matching columns."""
+    import pytest
+
+    def fn(x):
+        return jnp.concatenate([x ** 2, x ** 3], axis=-1)
+
+    x = jnp.linspace(0.0, 1.0, 8).reshape(-1, 1)
+    bad_targets = x ** 2  # [B, 1] vs output [B, 2]
+    with pytest.raises(ValueError, match="targets shape"):
+        sobolev_loss(fn, x, bad_targets)
+    # y_index-selected value term: targets for column 0 only
+    total, terms = sobolev_loss(fn, x, x ** 2, target_jac=2 * x[..., None],
+                                y_index=0)
+    assert float(terms["value_mse"]) < 1e-12
+    assert float(terms["jacobian_mse"]) < 1e-12
+    # full-output targets still accepted alongside y_index
+    full = jnp.concatenate([x ** 2, x ** 3], axis=-1)
+    total2, terms2 = sobolev_loss(fn, x, full, target_jac=2 * x[..., None],
+                                  y_index=0)
+    assert float(terms2["value_mse"]) < 1e-12

@@ -180,3 +180,31 @@ def test_lbfgs_resume_state_guard():
     # different structure (f64 cast): stale state discarded, no crash
     params64 = opt.minimize(params, max_iter=5, resume=True, dtype="float64")
     assert jax.tree_util.tree_leaves(params64)[0].dtype == jnp.float64
+
+
+def test_adabelief_weight_decay_decoupled():
+    """The simple adabelief() wrapper must use DECOUPLED weight decay like
+    the reference / adabelief_full — not feed wd*param into the belief
+    moments (round-2 review finding)."""
+    from nif_tpu.optimizers import adabelief
+    from nif_tpu.optimizers.adabelief import adabelief_full
+
+    p = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+    g = jax.tree_util.tree_map(jnp.ones_like, p)
+    tx = adabelief(1e-3, weight_decay=1e-2)
+    txf = adabelief_full(1e-3, weight_decay=1e-2, rectify=False)
+    u, _ = tx.update(g, tx.init(p), p)
+    uf, _ = txf.update(g, txf.init(p), p)
+    for a, b in zip(jax.tree_util.tree_leaves(u), jax.tree_util.tree_leaves(uf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_scale_by_belief_no_dead_smax():
+    """amsgrad=False must not carry a params-sized s_max buffer."""
+    from nif_tpu.optimizers import scale_by_belief
+
+    p = {"w": jnp.ones((8, 8))}
+    st = scale_by_belief(amsgrad=False).init(p)
+    assert st.s_max is None
+    st2 = scale_by_belief(amsgrad=True).init(p)
+    assert st2.s_max is not None

@@ -53,3 +53,11 @@ def test_export_bytes_roundtrip(model_and_params):
     loaded = load_exported(blob)
     inputs = np.zeros((8, 2), np.float32)
     assert np.asarray(loaded(inputs)).shape == (8, 1)
+
+
+def test_predict_empty_input_keeps_output_shape():
+    model = nif_tpu.NIF(CFG_S, CFG_P)
+    params = model.init(jax.random.key(0))
+    out = predict(model, params, np.zeros((0, 2), np.float32))
+    assert out.shape == (0, model.so_dim)
+    assert out.dtype == np.dtype(model.policy.param_dtype)

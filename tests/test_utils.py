@@ -217,3 +217,23 @@ class TestRoofline:
         assert r["points_per_sec"] > 2e8
         assert 0 < r["mxu_utilization"] < 1
         assert 0 < r["pnet_fraction"] < 0.2
+
+
+def test_rel_l2_bf16_inputs_measured_in_f32():
+    """rel-L2 < 1e-3 is below bf16 resolution: the metric must upcast
+    instead of quantizing the target to the pred's dtype."""
+    import jax.numpy as jnp
+    from nif_tpu.utils import rel_l2
+
+    rng = np.random.default_rng(0)
+    target = rng.standard_normal(4096).astype(np.float32)
+    pred_exact_bf16 = jnp.asarray(target, jnp.bfloat16)
+    # identical-up-to-bf16 pred: true rel error is the bf16 quantization of
+    # PRED only (~1e-3), and must not be doubled/zeroed by casting target
+    v = float(rel_l2(pred_exact_bf16, target))
+    assert 0 < v < 5e-3
+    assert rel_l2(pred_exact_bf16, target).dtype == jnp.float32
+    # small f32 perturbation below bf16 eps must be visible
+    v2 = float(rel_l2(jnp.asarray(target + 1e-4, jnp.float32), target))
+    assert v2 == pytest.approx(1e-4 / np.linalg.norm(target) *
+                               np.sqrt(target.size), rel=1e-2)
