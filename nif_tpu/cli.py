@@ -52,6 +52,79 @@ def _load_pointwise(args, cfg):
     return inputs, targets, weight
 
 
+def _open_sharded(args, cfg):
+    """Open a ShardedDataset directory and validate its column split
+    against the model config."""
+    from nif_tpu.data import ShardedDataset
+
+    ds = ShardedDataset.from_dir(args.data)
+    pi_si = cfg.parameter_net.input_dim + cfg.shape_net.input_dim
+    so = cfg.shape_net.output_dim
+    if (ds.n_feature, ds.n_target) != (pi_si, so):
+        raise SystemExit(
+            f"shard directory columns {ds.n_feature}/{ds.n_target} do not "
+            f"match the config ({pi_si} inputs / {so} targets)"
+        )
+    return ds
+
+
+def _train_streaming(args):
+    """Streamed training over a ShardedDataset directory: fixed-size
+    batches through the jitted step, global epoch accounting, checkpoints
+    keyed by step. L-BFGS (full-batch) is not available here."""
+    import jax
+
+    from nif_tpu.optimizers import get_optimizer
+    from nif_tpu.training import CheckpointCallback, Trainer
+
+    if args.lbfgs:
+        raise SystemExit(
+            "--lbfgs needs the full dataset in memory; pass an .npz "
+            "instead of a shard directory"
+        )
+    model, cfg = _build_model(args)
+    ds = _open_sharded(args, cfg)
+    from nif_tpu.parallel import make_mesh
+
+    mesh = make_mesh() if args.data_parallel else None
+    trainer = Trainer(model, get_optimizer(args.optimizer, args.lr),
+                      mesh=mesh, seed=args.seed)
+    if args.ckpt_dir:
+        state = trainer.init_or_restore(jax.random.key(args.seed), args.ckpt_dir)
+        if state.step:
+            print(f"resumed from step {state.step}")
+    else:
+        state = trainer.init(jax.random.key(args.seed))
+    ckpt_cb = (CheckpointCallback(args.ckpt_dir,
+                                  every=max(args.epochs // 10, 1))
+               if args.ckpt_dir else None)
+
+    cur_epoch, last_loss = -1, float("nan")
+    for epoch, feats, targets, w in ds.iter_batches(
+        args.batch_size, epochs=args.epochs, seed=args.seed
+    ):
+        if epoch != cur_epoch and cur_epoch >= 0:
+            print(f"epoch {cur_epoch:5d}  loss {last_loss:.6e}")
+            if ckpt_cb is not None:
+                ckpt_cb.on_epoch_end(trainer, state, cur_epoch, {})
+        cur_epoch = epoch
+        bi, bt, bw = trainer._put_batch(
+            feats, targets, w if ds.area_weight else None
+        )
+        state, loss = trainer._step(state, bi, bt, bw)
+        last_loss = float(loss)
+    print(f"final loss: {last_loss:.6e}")
+    if args.ckpt_dir:
+        from nif_tpu.training import Checkpointer
+
+        ckpt = Checkpointer(args.ckpt_dir)
+        ckpt.save(int(state.step) + 1_000_000, state.params)
+        ckpt.wait()
+        model.save_config(os.path.join(args.ckpt_dir, "config.json"))
+        print(f"saved final checkpoint + config to {args.ckpt_dir}")
+    return last_loss
+
+
 def _cmd_train(args):
     import jax
 
@@ -60,6 +133,8 @@ def _cmd_train(args):
     from nif_tpu.parallel import make_mesh
     from nif_tpu.training import CheckpointCallback, LossPrintingCallback, Trainer
 
+    if os.path.isdir(args.data):
+        return _train_streaming(args)
     model, cfg = _build_model(args)
     inputs, targets, weight = _load_pointwise(args, cfg)
 
@@ -94,7 +169,10 @@ def _cmd_train(args):
         tuner = LBFGS(model, inputs=inputs, targets=targets, sample_weight=weight)
         params = tuner.minimize(state.params, rounds=1, max_iter=args.lbfgs)
         state = type(state)(params, state.opt_state, state.step)
-        print(f"after L-BFGS: MSE {trainer.evaluate(state, inputs, targets):.6e}")
+        # same (weighted) metric as the pre-L-BFGS line, so the two are
+        # actually comparable
+        mse = trainer.evaluate(state, inputs, targets, sample_weight=weight)
+        print(f"after L-BFGS: MSE {mse:.6e}")
 
     if args.ckpt_dir:
         from nif_tpu.training import Checkpointer
@@ -118,7 +196,9 @@ def _cmd_eval(args):
     if not args.ckpt_dir:
         raise SystemExit("eval requires --ckpt-dir (a trained checkpoint)")
     model, cfg = _build_model(args)
-    inputs, targets, _ = _load_pointwise(args, cfg)
+    streaming = os.path.isdir(args.data)
+    if not streaming:
+        inputs, targets, _ = _load_pointwise(args, cfg)
     template = model.init(jax.random.key(0))
     ckpt = Checkpointer(args.ckpt_dir)
     try:
@@ -143,9 +223,25 @@ def _cmd_eval(args):
                 "either a params-only or a full-state tree (both attempts "
                 "shown above)"
             ) from e2
-    pred = predict(model, params, inputs, batch_size=args.batch_size)
-    mse = float(jnp.mean((jnp.asarray(pred) - targets) ** 2))
-    rl2 = float(rel_l2(pred, targets))
+    if streaming:
+        # accumulate the error/target sums shard by shard — same metrics,
+        # no full-dataset materialization
+        ds = _open_sharded(args, cfg)
+        se = st = n_el = 0.0
+        for _, feats, targets, _w in ds.iter_batches(
+            args.batch_size, epochs=1, shuffle=False, drop_remainder=False
+        ):
+            pred = predict(model, params, feats, batch_size=args.batch_size)
+            d = pred.astype(np.float64) - targets.astype(np.float64)
+            se += float(np.sum(d * d))
+            st += float(np.sum(targets.astype(np.float64) ** 2))
+            n_el += targets.size
+        mse = se / max(n_el, 1)
+        rl2 = float(np.sqrt(se / max(st, 1e-300)))
+    else:
+        pred = predict(model, params, inputs, batch_size=args.batch_size)
+        mse = float(jnp.mean((jnp.asarray(pred) - targets) ** 2))
+        rl2 = float(rel_l2(pred, targets))
     print(json.dumps({"mse": mse, "rel_l2": rl2}))
     return mse
 

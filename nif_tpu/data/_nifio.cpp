@@ -98,6 +98,12 @@ void nifio_f32_to_bf16(const float* src, int64_t n, uint16_t* out,
     for (int64_t i = lo; i < hi; ++i) {
       uint32_t bits;
       std::memcpy(&bits, src + i, sizeof(bits));
+      if ((bits & 0x7fffffffu) > 0x7f800000u) {
+        // NaN: the rounding carry can wrap high-payload NaNs to +/-0;
+        // emit a quiet NaN preserving the sign instead.
+        out[i] = static_cast<uint16_t>((bits >> 16) | 0x0040u);
+        continue;
+      }
       uint32_t lsb = (bits >> 16) & 1u;
       uint32_t rounded = bits + 0x7fffu + lsb;
       out[i] = static_cast<uint16_t>(rounded >> 16);

@@ -114,7 +114,14 @@ def f32_to_bf16(src: np.ndarray, n_threads: int = 0) -> np.ndarray:
     if lib is None:
         bits = src.view(np.uint32)
         lsb = (bits >> 16) & 1
-        return ((bits + 0x7FFF + lsb) >> 16).astype(np.uint16)
+        rounded = (
+            ((bits.astype(np.uint64) + 0x7FFF + lsb) >> 16)
+        ).astype(np.uint16)
+        # NaN guard (mirrors the native kernel): the rounding carry wraps
+        # high-payload NaNs to +/-0 — emit a sign-preserving quiet NaN.
+        nan = (bits & 0x7FFFFFFF) > 0x7F800000
+        return np.where(nan, ((bits >> 16) | 0x0040).astype(np.uint16),
+                        rounded)
     out = np.empty(src.shape, dtype=np.uint16)
     lib.nifio_f32_to_bf16(src.ctypes.data, src.size, out.ctypes.data, n_threads)
     return out

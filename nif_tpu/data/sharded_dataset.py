@@ -66,7 +66,15 @@ class ShardedDataset:
         shards are written with raw ``tofile``.
         """
         num_pts_per_file = int(num_pts_per_file)
-        data = np.load(npz_path, mmap_mode="r")[npz_key]
+        if npz_path.endswith(".npy"):
+            # true mmap: shard creation streams from disk at constant RSS
+            data = np.load(npz_path, mmap_mode="r")
+        else:
+            # .npz members are zip streams — numpy silently IGNORES
+            # mmap_mode and materializes the whole array on first access.
+            # For datasets larger than RAM, convert to .npy (np.save) and
+            # pass that path instead.
+            data = np.load(npz_path)[npz_key]
         n_total, n_col = data.shape
         expected = self.n_feature + self.n_target + (1 if self.area_weight else 0)
         if n_col != expected:
@@ -109,6 +117,13 @@ class ShardedDataset:
             raise ValueError(
                 f"meta.json column split {meta['n_feature']}/{meta['n_target']} "
                 f"does not match dataset ({self.n_feature}/{self.n_target})"
+            )
+        if bool(meta.get("area_weight", False)) != self.area_weight:
+            # Silently mismatched flags would split the last TARGET column
+            # off as a sample weight (or drop stored weights).
+            raise ValueError(
+                f"meta.json area_weight={meta.get('area_weight', False)} does "
+                f"not match dataset (area_weight={self.area_weight})"
             )
         files = sorted(
             (

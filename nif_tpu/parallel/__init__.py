@@ -1,4 +1,5 @@
 from .mesh import (
+    batch_axes,
     batch_axis_size,
     batch_sharding,
     init_distributed,
@@ -6,6 +7,7 @@ from .mesh import (
     make_mesh,
     pad_to_multiple,
     put_batch,
+    put_batch_tuple,
     put_replicated,
     replicated_sharding,
     shard_batch,
@@ -16,10 +18,12 @@ __all__ = [
     "make_hybrid_mesh",
     "batch_sharding",
     "batch_axis_size",
+    "batch_axes",
     "replicated_sharding",
     "shard_batch",
     "pad_to_multiple",
     "init_distributed",
     "put_batch",
+    "put_batch_tuple",
     "put_replicated",
 ]

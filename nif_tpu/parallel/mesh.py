@@ -79,6 +79,19 @@ def put_batch(arr, mesh: Mesh, axis=None):
     return jax.make_array_from_process_local_data(sh, np.asarray(arr))
 
 
+def put_batch_tuple(arrays, mesh: Optional[Mesh]):
+    """None-preserving batch placement for a tuple of arrays: each shards
+    dim 0 over the batch axes (plain device arrays without a mesh). The
+    shared helper behind both trainers' batch staging."""
+    if mesh is None:
+        import jax.numpy as jnp
+
+        return tuple(None if a is None else jnp.asarray(a) for a in arrays)
+    return tuple(
+        None if a is None else put_batch(np.asarray(a), mesh) for a in arrays
+    )
+
+
 def put_replicated(tree, mesh: Mesh):
     """Replicate a pytree onto the mesh (multi-process safe: each process
     must hold the same values, e.g. from an identical PRNG seed)."""
@@ -152,26 +165,31 @@ def make_hybrid_mesh(
     return Mesh(dev_array, (dcn_axis,) + tuple(ici_axes))
 
 
-def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
-    """Sharding for a [B, ...] batch: split dim 0 over the batch-like axes.
+def batch_axes(mesh: Mesh) -> tuple:
+    """The mesh axes a [B, ...] batch shards over: every axis named
+    'replica' or 'data' that is present (hybrid meshes shard across
+    DCN x ICI jointly), else the first axis (arbitrary-named 1-D meshes).
 
-    By default uses every mesh axis named 'replica' or 'data' that is
-    present (so hybrid meshes shard the batch across DCN x ICI jointly).
+    The ONE source of truth — sharding specs, divisibility checks, and the
+    trainers' pmean reductions must all use the same axis set, or a batch
+    can end up sharded over an axis the gradients are never reduced over.
     """
+    axes = tuple(a for a in mesh.axis_names if a in ("replica", "data"))
+    return axes if axes else tuple(mesh.axis_names[:1])
+
+
+def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
+    """Sharding for a [B, ...] batch: split dim 0 over :func:`batch_axes`."""
     if axis is None:
-        axes = tuple(a for a in mesh.axis_names if a in ("replica", "data"))
-        axis = axes if axes else mesh.axis_names[:1]
+        axis = batch_axes(mesh)
     return NamedSharding(mesh, P(axis))
 
 
 def batch_axis_size(mesh: Mesh) -> int:
     """Total device count along the batch-sharded axes — the divisibility
     requirement for dim 0 of anything placed with :func:`batch_sharding`."""
-    axes = tuple(a for a in mesh.axis_names if a in ("replica", "data"))
-    if not axes:
-        axes = mesh.axis_names[:1]
     size = 1
-    for a in axes:
+    for a in batch_axes(mesh):
         size *= mesh.shape[a]
     return size
 

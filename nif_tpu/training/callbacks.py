@@ -92,7 +92,12 @@ class CheckpointCallback(Callback):
 
     def on_epoch_end(self, trainer, state, epoch, logs):
         if epoch % self.every == 0:
-            self.ckpt.save(epoch, self._payload(state, epoch))
+            # Key by the GLOBAL step, not the epoch: epochs restart at 0 on
+            # every fit() call, so a resumed run against the same directory
+            # would collide with an existing checkpoint (orbax
+            # StepAlreadyExistsError) — the exact failure-recovery scenario
+            # this callback exists for.
+            self.ckpt.save(int(state.step), self._payload(state, epoch))
 
     def on_train_end(self, trainer, state):
         self.ckpt.wait()

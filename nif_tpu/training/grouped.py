@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..parallel.mesh import batch_axis_size, put_batch, put_replicated
+from ..parallel.mesh import batch_axis_size, put_batch_tuple, put_replicated
 from .trainer import TrainState
 
 __all__ = ["GroupedTrainer"]
@@ -66,8 +66,13 @@ class GroupedTrainer:
             # per-shard means + pmean recover the exact global means.
             from jax.sharding import PartitionSpec as P
 
-            axes = tuple(a for a in mesh.axis_names if a in ("replica", "data"))
-            batch_spec = P(axes if axes else mesh.axis_names[:1])
+            from ..parallel.mesh import batch_axes
+
+            # Reduce over exactly the axes the batch shards over (one
+            # source of truth with put_batch/batch_axis_size) — a mesh
+            # with arbitrary axis names must still get its pmean.
+            axes = batch_axes(mesh)
+            batch_spec = P(axes)
 
             def local(params, t, x, u, w, rw):
                 loss, grads = model.mse_value_and_grad(
@@ -122,12 +127,7 @@ class GroupedTrainer:
         return TrainState(params, self.tx.init(params), 0)
 
     def _put(self, *arrays):
-        if self.mesh is None:
-            return tuple(None if a is None else jnp.asarray(a) for a in arrays)
-        return tuple(
-            None if a is None else put_batch(np.asarray(a), self.mesh)
-            for a in arrays
-        )
+        return put_batch_tuple(arrays, self.mesh)
 
     def _residual_probs(self, state, t, x, u, alpha, mix):
         """Per-point sampling distribution proportional to the current
@@ -274,9 +274,24 @@ class GroupedTrainer:
             cb.on_train_end(self, state)
         return state
 
-    def evaluate(self, state: TrainState, t, x, u, sample_weight=None) -> float:
-        pred = self.model.apply_grouped(state.params, jnp.asarray(t), jnp.asarray(x))
-        err = jnp.square(pred - jnp.asarray(u, pred.dtype))
-        if sample_weight is not None:
-            err = err * jnp.asarray(sample_weight)[..., None].astype(pred.dtype)
-        return float(jnp.mean(err))
+    def evaluate(self, state: TrainState, t, x, u, sample_weight=None,
+                 group_batch: Optional[int] = None) -> float:
+        """Mean (weighted) MSE over the full grouped dataset, accumulated
+        in group chunks so evaluation never materializes more activations
+        than a training step."""
+        t, x, u = np.asarray(t), np.asarray(x), np.asarray(u)
+        G, P = x.shape[0], x.shape[1]
+        gb = min(group_batch or max(1, 4_000_000 // max(P, 1)), G)
+        total = 0.0
+        for s in range(0, G, gb):
+            sl = slice(s, min(s + gb, G))
+            pred = self.model.apply_grouped(
+                state.params, jnp.asarray(t[sl]), jnp.asarray(x[sl])
+            )
+            err = jnp.square(pred - jnp.asarray(u[sl], pred.dtype))
+            if sample_weight is not None:
+                err = err * jnp.asarray(
+                    sample_weight[sl]
+                )[..., None].astype(pred.dtype)
+            total += float(jnp.sum(err))
+        return total / (G * P * u.shape[-1])

@@ -24,7 +24,7 @@ import optax
 
 from ..parallel.mesh import (
     batch_axis_size,
-    put_batch,
+    put_batch_tuple,
     put_replicated,
 )
 
@@ -223,12 +223,7 @@ class Trainer:
             return TrainState(params, self.tx.init(params), step)
 
     def _put_batch(self, *arrays):
-        if self.mesh is None:
-            return tuple(None if a is None else jnp.asarray(a) for a in arrays)
-        return tuple(
-            None if a is None else put_batch(np.asarray(a), self.mesh)
-            for a in arrays
-        )
+        return put_batch_tuple(arrays, self.mesh)
 
     def fit(
         self,
@@ -293,7 +288,10 @@ class Trainer:
             if validation_data is not None and epoch % validation_every == 0:
                 vi, vt = validation_data
                 logs["val_loss"] = self.evaluate(state, vi, vt)
+                # val rows are sparser than 'epoch'/'loss' — record their
+                # own epoch column so the histories stay alignable
                 self.history.setdefault("val_loss", []).append(logs["val_loss"])
+                self.history.setdefault("val_epoch", []).append(epoch)
             if verbose_every and epoch % verbose_every == 0:
                 print(f"epoch {epoch:5d}  loss {epoch_loss:.6e}  ({logs['time']:.3f}s)")
             for cb in callbacks:
@@ -302,9 +300,39 @@ class Trainer:
             cb.on_train_end(self, state)
         return state
 
-    def evaluate(self, state: TrainState, inputs, targets, sample_weight=None) -> float:
-        loss_fn = make_loss_fn(self.model, use_reg=False)
-        w = None if sample_weight is None else jnp.asarray(sample_weight)
-        return float(
-            loss_fn(state.params, jnp.asarray(inputs), jnp.asarray(targets), w)
-        )
+    def evaluate(self, state: TrainState, inputs, targets, sample_weight=None,
+                 batch_size: int = 65536) -> float:
+        """Mean (weighted) MSE over the whole dataset, accumulated in
+        fixed-size batches — one compiled executable, no full-dataset
+        forward (``fit`` trains datasets far larger than one activation
+        buffer; evaluation must not be the thing that OOMs)."""
+        inputs = np.asarray(inputs)
+        targets = np.asarray(targets)
+        n = inputs.shape[0]
+        if n == 0:
+            return float("nan")
+        bs = min(batch_size, n)
+        n_div = 1 if self.mesh is None else batch_axis_size(self.mesh)
+        bs += (-bs) % n_div
+
+        @jax.jit
+        def chunk_sum(params, i, t, w):
+            pred = self.model.apply(params, i)
+            err = jnp.square(pred - t.astype(pred.dtype))
+            return jnp.sum(err * w[..., None].astype(pred.dtype))
+
+        sw = (np.ones(n, np.float32) if sample_weight is None
+              else np.asarray(sample_weight, np.float32).reshape(n))
+        total = 0.0
+        for s in range(0, n, bs):
+            bi, bt = inputs[s : s + bs], targets[s : s + bs]
+            w = sw[s : s + bs]
+            b = len(w)
+            if b < bs:  # zero-weight pad keeps the executable shape fixed
+                pad = bs - b
+                bi = np.concatenate([bi, np.broadcast_to(bi[:1], (pad,) + bi.shape[1:])])
+                bt = np.concatenate([bt, np.broadcast_to(bt[:1], (pad,) + bt.shape[1:])])
+                w = np.concatenate([w, np.zeros(pad, np.float32)])
+            bi, bt, bw = self._put_batch(bi, bt, w)
+            total += float(chunk_sum(state.params, bi, bt, bw))
+        return total / (n * targets.shape[-1])

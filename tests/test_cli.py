@@ -92,3 +92,36 @@ def test_cli_eval_requires_ckpt_dir(workdir):
             "eval", "--config", str(workdir / "config.json"),
             "--data", str(workdir / "data.npz"),
         ])
+
+
+def test_cli_streaming_train_eval_from_shard_dir(workdir, capsys):
+    """--data can be a ShardedDataset directory (the documented streaming
+    path): train streams fixed-size batches through the jitted step, eval
+    accumulates metrics shard by shard."""
+    from nif_tpu.data import ShardedDataset
+
+    ds = ShardedDataset(2, 1)
+    shard_dir = str(workdir / "shards")
+    ds.create_from_npz(100, str(workdir / "data.npz"), "data", shard_dir)
+
+    ckpt = str(workdir / "ckpt_stream")
+    loss = cli_main([
+        "train", "--config", str(workdir / "config.json"),
+        "--data", shard_dir, "--epochs", "20",
+        "--batch-size", "100", "--ckpt-dir", ckpt,
+    ])
+    assert np.isfinite(loss)
+    assert os.path.exists(os.path.join(ckpt, "config.json"))
+
+    mse = cli_main([
+        "eval", "--config", str(workdir / "config.json"),
+        "--data", shard_dir, "--ckpt-dir", ckpt, "--batch-size", "100",
+    ])
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(mse) and parsed["mse"] == pytest.approx(mse)
+    # --lbfgs on a shard dir is a clear error, not a crash
+    with pytest.raises(SystemExit, match="lbfgs"):
+        cli_main([
+            "train", "--config", str(workdir / "config.json"),
+            "--data", shard_dir, "--epochs", "1", "--lbfgs", "5",
+        ])

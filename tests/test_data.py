@@ -265,3 +265,65 @@ def test_grouped_dataset_yields_tail_groups(tmp_path):
                     ds.iter_batches(group_batch=4, point_batch=8, epochs=1,
                                     drop_remainder=True))
     assert seen_drop == 4
+
+
+def test_sharded_area_weight_mismatch_raises(tmp_path):
+    """Opening shards with the wrong area_weight flag must raise instead of
+    silently splitting a target column off as weights."""
+    from nif_tpu.data import ShardedDataset
+
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((100, 4)).astype(np.float32)
+    npz = str(tmp_path / "d.npz")
+    np.savez(npz, data=data)
+    ds = ShardedDataset(2, 2, area_weight=False)
+    out = str(tmp_path / "shards")
+    ds.create_from_npz(50, npz, "data", out)
+    # same column split, different weight flag — the silent case
+    with pytest.raises(ValueError, match="area_weight"):
+        ShardedDataset(2, 2, area_weight=True).open(out)
+
+
+def test_f32_to_bf16_nan_and_rounding():
+    """NaNs must stay NaN through both conversion paths (the rounding
+    carry used to wrap high-payload NaNs to +/-0)."""
+    import os
+
+    from nif_tpu.data.nifio import f32_to_bf16, native_available
+
+    vals = np.array([1.0, -2.5, 65504.0, np.inf, -np.inf], np.float32)
+    nans = np.array([np.uint32(0xFFFFFFFF), np.uint32(0x7FFFFFFF),
+                     np.uint32(0x7FC00000)]).view(np.float32)
+    src = np.concatenate([vals, nans])
+
+    def check(bits):
+        back = bits.astype(np.uint32) << 16
+        back = back.view(np.float32)
+        np.testing.assert_allclose(back[:3], vals[:3], rtol=1e-2)
+        assert np.isinf(back[3]) and back[3] > 0
+        assert np.isinf(back[4]) and back[4] < 0
+        assert np.all(np.isnan(back[5:]))
+
+    check(f32_to_bf16(src))  # native if available
+    os.environ["NIF_NO_NATIVE"] = "1"
+    try:
+        check(f32_to_bf16(src))  # numpy fallback
+    finally:
+        del os.environ["NIF_NO_NATIVE"]
+
+
+def test_create_from_npy_mmap(tmp_path):
+    """A bare .npy input streams via real mmap (npz members cannot mmap)."""
+    from nif_tpu.data import ShardedDataset
+
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((120, 3)).astype(np.float32)
+    npy = str(tmp_path / "d.npy")
+    np.save(npy, data)
+    ds = ShardedDataset(2, 1)
+    out = str(tmp_path / "shards")
+    ds.create_from_npz(50, npy, "unused", out, shuffle=False)
+    ds2 = ShardedDataset(2, 1).open(out)
+    rows = [f for _, f, t, _ in ds2.iter_batches(40, epochs=1, shuffle=False,
+                                                 drop_remainder=False)]
+    assert sum(r.shape[0] for r in rows) == 120
