@@ -134,6 +134,12 @@ def fused_supported(cfg: ShapeNetConfig, variant: str, P: int) -> bool:
 # (v5e/v5p have ~16 MB/core; leave headroom for weights, temporaries, and
 # the double-buffered input tiles).
 _VMEM_RESIDUAL_BUDGET = 8 * 1024 * 1024
+# bf16 compute leaves more real headroom than the conservative model
+# above: TP=4096 at width-128 depth-2 measured 11% faster than 2048 and
+# compiles fine (TP=8192 OOMs); width-256, deep-resblock, and width-64
+# enlarged tiles were each validated at real compile. 12 MB puts the
+# validated configs exactly at their measured-good tiles.
+_VMEM_BF16_BACKWARD_BUDGET = 12 * 1024 * 1024
 
 
 def _pick_tile(P: int, cfg: ShapeNetConfig = None, backward: bool = True,
@@ -159,14 +165,18 @@ def _pick_tile(P: int, cfg: ShapeNetConfig = None, backward: bool = True,
     # confirms the f32 surcharge must count the full padded tiles.
     pad_extra = 4 * 128 * itemsize if itemsize > 2 else 0
     if cfg is not None:
+        budget = _VMEM_RESIDUAL_BUDGET
         if backward:
             n_sine = 1 + (2 if cfg.use_resblock else 1) * cfg.nlayers
             bytes_per_row = 2 * n_sine * cfg.units * 4 + pad_extra
-            cap = 2048
+            if itemsize <= 2:
+                cap, budget = 4096, _VMEM_BF16_BACKWARD_BUDGET
+            else:
+                cap = 2048
         else:
             bytes_per_row = 3 * cfg.units * 4 + pad_extra
             cap = 8192
-        cap = max(min(cap, _VMEM_RESIDUAL_BUDGET // max(bytes_per_row, 1)), 8)
+        cap = max(min(cap, budget // max(bytes_per_row, 1)), 8)
     else:
         cap = 2048
     for tp in (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):

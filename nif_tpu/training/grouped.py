@@ -181,6 +181,8 @@ class GroupedTrainer:
         resample_every: int = 10,
         residual_alpha: float = 1.0,
         residual_mix: float = 0.5,
+        validation_data=None,
+        validation_every: int = 1,
     ) -> TrainState:
         """``point_sampling="residual"`` (opt-in, beyond the reference)
         subsamples points proportionally to the current squared residual
@@ -266,6 +268,11 @@ class GroupedTrainer:
             self.history["loss"].append(epoch_loss)
             logs = {"loss": epoch_loss, "epoch": epoch,
                     "time": time.perf_counter() - t0}
+            if validation_data is not None and epoch % validation_every == 0:
+                vt, vx, vu = validation_data
+                logs["val_loss"] = self.evaluate(state, vt, vx, vu)
+                self.history.setdefault("val_loss", []).append(logs["val_loss"])
+                self.history.setdefault("val_epoch", []).append(epoch)
             if verbose_every and epoch % verbose_every == 0:
                 print(f"epoch {epoch:5d}  loss {epoch_loss:.6e}  ({logs['time']:.3f}s)")
             for cb in callbacks:

@@ -616,3 +616,17 @@ def test_evaluate_batched_matches_full():
     pred = np.asarray(model.apply(st.params, jnp.asarray(inputs)))
     full = float(np.mean((pred - targets) ** 2 * w[:, None]))
     assert batched == pytest.approx(full, rel=1e-5)
+
+
+def test_grouped_validation_logging():
+    _, _, tw = make_data()
+    t, x, u = tw.as_grouped()
+    model = nif_tpu.NIF(CFG_S, CFG_P)
+    tr = GroupedTrainer(model, optax.adam(2e-3))
+    st = tr.init(jax.random.key(0))
+    tr.fit(st, t[:16], x[:16], u[:16], epochs=4, group_batch=8,
+           point_batch=50, validation_data=(t[16:], x[16:], u[16:]),
+           validation_every=2)
+    assert len(tr.history["val_loss"]) == 2
+    assert tr.history["val_epoch"] == [0, 2]
+    assert all(np.isfinite(v) for v in tr.history["val_loss"])
