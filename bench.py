@@ -61,8 +61,14 @@ def make_model():
     return nif_tpu.NIFMultiScale(cfg_s, cfg_p, mixed_policy="mixed_bfloat16")
 
 
-def steady_state_time(step_fn, state0, n1=10, n2=40):
-    """Per-step time via scan-chained steps with forced readback."""
+def steady_state_time(step_fn, state0, n1=10, n2=40, repeats=3):
+    """Per-step time via scan-chained steps with forced readback.
+
+    Each measurement is the min over ``repeats`` timed runs — the chip is
+    shared, and min-of-repeats filters co-tenant contention without
+    changing what is measured (every run is still a full scan-chained
+    execution synced by the scalar readback).
+    """
 
     def run_n(n):
         @jax.jit
@@ -75,9 +81,12 @@ def steady_state_time(step_fn, state0, n1=10, n2=40):
             return losses[-1]
 
         _ = float(run(state0))  # compile + warm
-        t0 = time.perf_counter()
-        _ = float(run(state0))  # timed, synced by the scalar readback
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _i in range(repeats):
+            t0 = time.perf_counter()
+            _ = float(run(state0))  # timed, synced by the scalar readback
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     d1, d2 = run_n(n1), run_n(n2)
     return max((d2 - d1) / (n2 - n1), 1e-9)
