@@ -89,7 +89,13 @@ def steady_state_time(step_fn, state0, n1=10, n2=40, repeats=3):
         return best
 
     d1, d2 = run_n(n1), run_n(n2)
-    return max((d2 - d1) / (n2 - n1), 1e-9)
+    if d2 <= d1:  # contention hit every short-scan run; measure again
+        d1, d2 = run_n(n1), run_n(n2)
+    if d2 <= d1:
+        # conservative upper bound (includes dispatch overhead) instead of
+        # clamping to an absurdly small dt and emitting a corrupt record
+        return d2 / n2
+    return (d2 - d1) / (n2 - n1)
 
 
 def main():

@@ -16,7 +16,7 @@ import optax
 
 import nif_tpu
 from nif_tpu.data.sharded_dataset import ShardedDataset
-from nif_tpu.training import Trainer, make_train_step
+from nif_tpu.training import TrainState, make_train_step
 
 
 def main(epochs=3, batch_size=2048, n_points=200_000, seed=0, workdir=None):
@@ -47,8 +47,8 @@ def main(epochs=3, batch_size=2048, n_points=200_000, seed=0, workdir=None):
     )
     tx = optax.adam(1e-3)
     step = make_train_step(model, tx)
-    trainer = Trainer(model, tx)
-    state = trainer.init(jax.random.key(seed))
+    params = model.init(jax.random.key(seed))
+    state = TrainState(params, tx.init(params))
 
     stream = ShardedDataset.from_dir(os.path.join(workdir, "shards"))
     last_epoch, losses = -1, []

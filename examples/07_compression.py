@@ -35,7 +35,7 @@ def main(epochs=2000, final_sparsity=0.5, seed=0):
     )
 
     # --- train with a gradual magnitude-pruning schedule ---
-    steps_per_epoch = max(len(inputs) // 512, 1)
+    steps_per_epoch = -(-len(inputs) // 512)  # ceil: tail batches train
     tx = MagnitudePruning(
         optax.adam(2e-3), final_sparsity=final_sparsity,
         begin_step=steps_per_epoch * epochs // 4,

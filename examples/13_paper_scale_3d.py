@@ -54,8 +54,8 @@ def synth_field(G, P, seed=0):
     return ts[:, None], x, u[..., None].astype(np.float32)
 
 
-def main(G=8, P=4096, epochs=3, group_batch=4, point_batch=2048,
-         units=32, latent=16, seed=0, workdir=None, paper=False):
+def main(G=None, P=None, epochs=None, group_batch=None, point_batch=None,
+         units=None, latent=None, seed=0, workdir=None, paper=False):
     import jax
     import optax
 
@@ -64,10 +64,19 @@ def main(G=8, P=4096, epochs=3, group_batch=4, point_batch=2048,
     from nif_tpu.training import GroupedTrainer
     from nif_tpu.utils import rel_l2
 
+    # --paper sets defaults only; explicit arguments always win
+    base = dict(G=8, P=4096, epochs=3, group_batch=4, point_batch=2048,
+                units=32, latent=16)
     if paper:  # 64 x 262144 = 16.7M points, flagship width
-        G, P, epochs = 64, 262_144, 150
-        group_batch, point_batch = 8, 32_768
-        units, latent = 128, 128
+        base.update(G=64, P=262_144, epochs=150, group_batch=8,
+                    point_batch=32_768, units=128, latent=128)
+    G = base["G"] if G is None else G
+    P = base["P"] if P is None else P
+    epochs = base["epochs"] if epochs is None else epochs
+    group_batch = base["group_batch"] if group_batch is None else group_batch
+    point_batch = base["point_batch"] if point_batch is None else point_batch
+    units = base["units"] if units is None else units
+    latent = base["latent"] if latent is None else latent
 
     workdir = workdir or tempfile.mkdtemp(prefix="nif3d_")
     t, x, u = synth_field(G, P, seed)

@@ -220,3 +220,29 @@ class TestNIFLinearFusedTrain:
             scale = float(jnp.max(jnp.abs(b))) + 1e-9
             np.testing.assert_allclose(np.asarray(a) / scale,
                                        np.asarray(b) / scale, atol=5e-5)
+
+
+def test_tile_picks_pinned():
+    """Hardware-calibrated tile choices (round-2 sweeps): bf16 takes the
+    enlarged tiles, f32 keeps the conservative ones. A silent change here
+    is a measured perf regression (train +25%, linear +30%, fwd +9%) or a
+    real-compile OOM."""
+    from nif_tpu.config import ShapeNetConfig
+    from nif_tpu.ops.pallas_shapenet import _pick_tile, _pick_tile_linear
+
+    mk = lambda u, n, r, out=1: ShapeNetConfig(
+        input_dim=3, output_dim=out, units=u, nlayers=n, activation="sine",
+        use_resblock=r, omega_0=30.0, connectivity="full")
+    P = 32768
+    # train/backward
+    assert _pick_tile(P, mk(128, 2, False)) == 4096
+    assert _pick_tile(P, mk(256, 2, False)) == 2048
+    assert _pick_tile(P, mk(128, 8, True)) == 512
+    assert _pick_tile(P, mk(128, 2, False), itemsize=4) == 1024  # f32
+    # forward
+    assert _pick_tile(P, mk(128, 2, False), backward=False) == 8192
+    assert _pick_tile(P, mk(256, 2, False), backward=False) == 4096
+    assert _pick_tile(P, mk(128, 2, False), backward=False, itemsize=4) == 2048
+    # NIF-linear trunk (output_dim = so*K)
+    assert _pick_tile_linear(P, mk(128, 2, False, out=128)) == 2048
+    assert _pick_tile_linear(P, mk(128, 2, False, out=128), itemsize=4) == 1024
