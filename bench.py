@@ -204,7 +204,11 @@ def main():
 
     def rom_step(state):
         p, acc = state
-        pred = lin.apply_shared_mesh(p, t_rom + acc * 1e-9, x_rom)
+        # the carry feeds BOTH inputs: phi(x) depends only on x/params, so
+        # a constant x would let XLA hoist the whole trunk forward out of
+        # the timing scan and report ~2x the real per-call throughput
+        pred = lin.apply_shared_mesh(p, t_rom + acc * 1e-9,
+                                     x_rom + acc * 1e-9)
         acc = jnp.mean(pred.astype(jnp.float32))
         return (p, acc), acc
 

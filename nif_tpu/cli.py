@@ -99,12 +99,22 @@ def _train_streaming(args):
                                   every=max(args.epochs // 10, 1))
                if args.ckpt_dir else None)
 
-    cur_epoch, last_loss = -1, float("nan")
+    if ds.steps_per_epoch(args.batch_size) == 0:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} exceeds every shard's row "
+            "count: the streaming loop would take zero steps. Lower the "
+            "batch size or recreate shards with more points per file."
+        )
+
+    # keep the loss on device per step (reading it back would sync the
+    # host every step and kill prefetch/compute overlap); read once per
+    # epoch boundary for the print.
+    cur_epoch, last_loss = -1, None
     for epoch, feats, targets, w in ds.iter_batches(
         args.batch_size, epochs=args.epochs, seed=args.seed
     ):
         if epoch != cur_epoch and cur_epoch >= 0:
-            print(f"epoch {cur_epoch:5d}  loss {last_loss:.6e}")
+            print(f"epoch {cur_epoch:5d}  loss {float(last_loss):.6e}")
             if ckpt_cb is not None:
                 ckpt_cb.on_epoch_end(trainer, state, cur_epoch, {})
         cur_epoch = epoch
@@ -112,7 +122,14 @@ def _train_streaming(args):
             feats, targets, w if ds.area_weight else None
         )
         state, loss = trainer._step(state, bi, bt, bw)
-        last_loss = float(loss)
+        last_loss = loss
+    last_loss = float(last_loss)
+    print(f"epoch {cur_epoch:5d}  loss {last_loss:.6e}")
+    if ckpt_cb is not None:
+        # final epoch's periodic checkpoint + flush the async saves BEFORE
+        # a second manager touches the directory
+        ckpt_cb.on_epoch_end(trainer, state, cur_epoch, {})
+        ckpt_cb.on_train_end(trainer, state)
     print(f"final loss: {last_loss:.6e}")
     if args.ckpt_dir:
         from nif_tpu.training import Checkpointer
@@ -225,13 +242,22 @@ def _cmd_eval(args):
             ) from e2
     if streaming:
         # accumulate the error/target sums shard by shard — same metrics,
-        # no full-dataset materialization
+        # no full-dataset materialization. ONE jitted executable: tail
+        # batches pad up to the fixed batch size (predict() would rebuild
+        # jax.jit(model.apply) per call and recompile per shard).
         ds = _open_sharded(args, cfg)
+        apply_fn = jax.jit(lambda p, i: model.apply(p, i))
+        bs = args.batch_size
         se = st = n_el = 0.0
         for _, feats, targets, _w in ds.iter_batches(
-            args.batch_size, epochs=1, shuffle=False, drop_remainder=False
+            bs, epochs=1, shuffle=False, drop_remainder=False
         ):
-            pred = predict(model, params, feats, batch_size=args.batch_size)
+            b = feats.shape[0]
+            if b < bs:
+                feats = np.concatenate(
+                    [feats, np.broadcast_to(feats[:1], (bs - b,) + feats.shape[1:])]
+                )
+            pred = np.asarray(apply_fn(params, jnp.asarray(feats)))[:b]
             d = pred.astype(np.float64) - targets.astype(np.float64)
             se += float(np.sum(d * d))
             st += float(np.sum(targets.astype(np.float64) ** 2))

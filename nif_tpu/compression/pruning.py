@@ -108,13 +108,17 @@ def MagnitudePruning(
         updates, inner_state = inner.update(updates, state.inner, params)
         step = state.step + 1
         new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        # Recompute on the update_every cadence AND at end_step (tfmot
-        # always prunes at the ramp's end so final_sparsity is reached
-        # even when the cadence overshoots a short ramp).
+        # Recompute on the update_every cadence while inside the ramp, AND
+        # at end_step (tfmot always prunes at the ramp's end so
+        # final_sparsity is reached even when the cadence overshoots a
+        # short ramp). After end_step the mask FREEZES — continuing to
+        # re-derive it at final sparsity would churn the pattern forever
+        # (weights resurrecting/dying each cadence), which is what tfmot's
+        # [begin, end] window prevents.
         recompute = (
             (step % update_every == 1) | (update_every <= 1)
-            | (step == end_step)
-        )
+            | (step == end_step) | (step == begin_step + 1)
+        ) & (step <= end_step)
         mask = jax.lax.cond(
             recompute,
             lambda: fresh_mask(new_params, schedule(step)),

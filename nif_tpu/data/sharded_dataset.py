@@ -152,6 +152,17 @@ class ShardedDataset:
         weight = arr[:, -1] if self.area_weight else None
         return feats, targets, weight
 
+    def steps_per_epoch(self, batch_size: int,
+                        drop_remainder: bool = True) -> int:
+        """Number of batches one epoch of ``iter_batches`` yields for this
+        host's stripe (0 means the batch size exceeds every shard — a
+        consumer loop would silently take no steps)."""
+        total = 0
+        for f in self.files:
+            n = np.load(f, mmap_mode="r").shape[0]
+            total += n // batch_size if drop_remainder else -(-n // batch_size)
+        return total
+
     def iter_batches(
         self,
         batch_size: int,

@@ -315,11 +315,18 @@ class Trainer:
         n_div = 1 if self.mesh is None else batch_axis_size(self.mesh)
         bs += (-bs) % n_div
 
-        @jax.jit
-        def chunk_sum(params, i, t, w):
-            pred = self.model.apply(params, i)
-            err = jnp.square(pred - t.astype(pred.dtype))
-            return jnp.sum(err * w[..., None].astype(pred.dtype))
+        # cached on self: jax.jit keys on function identity, so a fresh
+        # closure per evaluate() call would recompile on every validation
+        # epoch
+        chunk_sum = getattr(self, "_eval_chunk_sum", None)
+        if chunk_sum is None:
+            @jax.jit
+            def chunk_sum(params, i, t, w):
+                pred = self.model.apply(params, i)
+                err = jnp.square(pred - t.astype(pred.dtype))
+                return jnp.sum(err * w[..., None].astype(pred.dtype))
+
+            self._eval_chunk_sum = chunk_sum
 
         sw = (np.ones(n, np.float32) if sample_weight is None
               else np.asarray(sample_weight, np.float32).reshape(n))

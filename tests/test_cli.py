@@ -125,3 +125,18 @@ def test_cli_streaming_train_eval_from_shard_dir(workdir, capsys):
             "train", "--config", str(workdir / "config.json"),
             "--data", shard_dir, "--epochs", "1", "--lbfgs", "5",
         ])
+
+
+def test_cli_streaming_zero_steps_is_loud(workdir):
+    """batch-size larger than every shard would silently take 0 steps and
+    save untrained params — it must raise instead."""
+    from nif_tpu.data import ShardedDataset
+
+    ds = ShardedDataset(2, 1)
+    shard_dir = str(workdir / "tiny_shards")
+    ds.create_from_npz(100, str(workdir / "data.npz"), "data", shard_dir)
+    with pytest.raises(SystemExit, match="zero steps"):
+        cli_main([
+            "train", "--config", str(workdir / "config.json"),
+            "--data", shard_dir, "--epochs", "1", "--batch-size", "4096",
+        ])
