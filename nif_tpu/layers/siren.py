@@ -51,10 +51,13 @@ def siren_apply(params, x, omega_0, layer_position):
 
 
 def siren_resnet_init(key, width, omega_0, dtype=jnp.float32):
-    k1, k2 = jax.random.split(key)
-    p1 = siren_init(k1, width, width, "hidden", omega_0, dtype)
-    p2 = siren_init(k2, width, width, "hidden", omega_0, dtype)
-    return {"w": p1["w"], "b": p1["b"], "w2": p2["w"], "b2": p2["b"]}
+    # The reference ties the second matmul's init to the first: SIREN_ResNet
+    # builds w2/b2 from the SAME w_init/b_init tensors as w/b (reference
+    # nif/layers/siren.py:370-379), so every resblock starts with w2 == w
+    # and b2 == b exactly. Init parity (joint, not just marginal) is what
+    # makes seeded convergence trajectories comparable.
+    p1 = siren_init(key, width, width, "hidden", omega_0, dtype)
+    return {"w": p1["w"], "b": p1["b"], "w2": p1["w"], "b2": p1["b"]}
 
 
 def siren_resnet_apply(params, x, omega_0):

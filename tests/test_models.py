@@ -276,3 +276,34 @@ class TestWeightVectorRoundTrip:
             axis=-1,
         )
         np.testing.assert_array_equal(np.asarray(flat), np.asarray(wb))
+
+
+def test_vanilla_nif_ignores_use_resblock():
+    """The reference's vanilla NIF never consults use_resblock
+    (nif/model.py:169-173); a multiscale-style cfg dict with
+    use_resblock=True must produce the SAME model as without it (no
+    inflated po_dim / dead generated weights)."""
+    cfg_s = {"input_dim": 2, "output_dim": 1, "units": 8, "nlayers": 2,
+             "activation": "swish", "use_resblock": True}
+    cfg_p = {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+             "activation": "swish"}
+    m_res = NIF(cfg_s, cfg_p)
+    m_plain = NIF(dict(cfg_s, use_resblock=False), cfg_p)
+    assert m_res.po_dim == m_plain.po_dim
+    # reference closed form: l*n^2 + (si+so+1+l)*n + so
+    assert m_res.po_dim == 2 * 64 + (2 + 1 + 1 + 2) * 8 + 1
+    p = m_res.init(jax.random.key(0))
+    inp = np.random.default_rng(0).standard_normal((5, 3)).astype(np.float32)
+    u1 = np.asarray(m_res.apply(p, inp))
+    u2 = np.asarray(m_plain.apply(p, inp))
+    np.testing.assert_array_equal(u1, u2)
+
+
+def test_siren_resnet_init_tied():
+    """Reference SIREN_ResNet builds w2/b2 from the same init tensors as
+    w/b (nif/layers/siren.py:370-379): tied at init."""
+    from nif_tpu.layers.siren import siren_resnet_init
+
+    p = siren_resnet_init(jax.random.key(3), 16, 30.0)
+    np.testing.assert_array_equal(np.asarray(p["w"]), np.asarray(p["w2"]))
+    np.testing.assert_array_equal(np.asarray(p["b"]), np.asarray(p["b2"]))
