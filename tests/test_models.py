@@ -307,3 +307,18 @@ def test_siren_resnet_init_tied():
     p = siren_resnet_init(jax.random.key(3), 16, 30.0)
     np.testing.assert_array_equal(np.asarray(p["w"]), np.asarray(p["w2"]))
     np.testing.assert_array_equal(np.asarray(p["b"]), np.asarray(p["b2"]))
+
+
+def test_multiscale_last_layer_connectivity_rejected_early():
+    """Reference wart (not replicated): plain NIFMultiScale +
+    connectivity='last_layer' constructs there and breaks at call time —
+    here it fails at construction, naming the working class."""
+    cfg_s = {"input_dim": 2, "output_dim": 1, "units": 8, "nlayers": 1,
+             "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+             "connectivity": "last_layer", "weight_init_factor": 1.0}
+    cfg_p = {"input_dim": 1, "latent_dim": 4, "units": 8, "nlayers": 1,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0}
+    with pytest.raises(ValueError, match="LastLayerParameterized"):
+        NIFMultiScale(cfg_s, cfg_p)
+    # the subclass (which IS a NIFMultiScale) still constructs fine
+    NIFMultiScaleLastLayerParameterized(cfg_s, cfg_p)
