@@ -87,6 +87,12 @@ def _train_streaming(args):
     from nif_tpu.parallel import make_mesh
 
     mesh = make_mesh() if args.data_parallel else None
+    if mesh is not None:
+        # streamed batches bypass Trainer.fit's internal rounding: dim 0
+        # must divide across the data axes, so round the batch size here
+        from nif_tpu.parallel import batch_axis_size
+
+        args.batch_size += (-args.batch_size) % batch_axis_size(mesh)
     trainer = Trainer(model, get_optimizer(args.optimizer, args.lr),
                       mesh=mesh, seed=args.seed)
     if args.ckpt_dir:

@@ -140,3 +140,20 @@ def test_cli_streaming_zero_steps_is_loud(workdir):
             "train", "--config", str(workdir / "config.json"),
             "--data", shard_dir, "--epochs", "1", "--batch-size", "4096",
         ])
+
+
+def test_cli_streaming_data_parallel(workdir):
+    """Streamed training under --data-parallel: the batch size rounds to
+    the mesh divisor (streamed batches bypass Trainer.fit's rounding)."""
+    from nif_tpu.data import ShardedDataset
+
+    ds = ShardedDataset(2, 1)
+    shard_dir = str(workdir / "dp_shards")
+    ds.create_from_npz(200, str(workdir / "data.npz"), "data", shard_dir)
+    loss = cli_main([
+        "train", "--config", str(workdir / "config.json"),
+        "--data", shard_dir, "--epochs", "3",
+        "--batch-size", "100",  # not divisible by 8 devices -> rounds to 104
+        "--data-parallel",
+    ])
+    assert np.isfinite(loss)
