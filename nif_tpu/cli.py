@@ -139,9 +139,10 @@ def _train_streaming(args):
     print(f"final loss: {last_loss:.6e}")
     if args.ckpt_dir:
         from nif_tpu.training import Checkpointer
+        from nif_tpu.training.checkpoint import FINAL_MARKER_OFFSET
 
         ckpt = Checkpointer(args.ckpt_dir)
-        ckpt.save(int(state.step) + 1_000_000, state.params)
+        ckpt.save(int(state.step) + FINAL_MARKER_OFFSET, state.params)
         ckpt.wait()
         model.save_config(os.path.join(args.ckpt_dir, "config.json"))
         print(f"saved final checkpoint + config to {args.ckpt_dir}")
@@ -199,9 +200,10 @@ def _cmd_train(args):
 
     if args.ckpt_dir:
         from nif_tpu.training import Checkpointer
+        from nif_tpu.training.checkpoint import FINAL_MARKER_OFFSET
 
         ckpt = Checkpointer(args.ckpt_dir)
-        ckpt.save(state.step + 1_000_000, state.params)  # final marker
+        ckpt.save(int(state.step) + FINAL_MARKER_OFFSET, state.params)  # final marker
         ckpt.wait()
         model.save_config(os.path.join(args.ckpt_dir, "config.json"))
         print(f"saved final checkpoint + config to {args.ckpt_dir}")

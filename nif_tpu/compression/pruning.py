@@ -118,7 +118,7 @@ def MagnitudePruning(
         recompute = (
             (step % update_every == 1) | (update_every <= 1)
             | (step == end_step) | (step == begin_step + 1)
-        ) & (step <= end_step)
+        ) & (step <= end_step) & (step > begin_step)
         mask = jax.lax.cond(
             recompute,
             lambda: fresh_mask(new_params, schedule(step)),

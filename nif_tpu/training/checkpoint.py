@@ -14,7 +14,14 @@ from typing import Any, Optional
 
 import orbax.checkpoint as ocp
 
-__all__ = ["Checkpointer"]
+__all__ = ["Checkpointer", "FINAL_MARKER_OFFSET"]
+
+#: Step offset used for the params-only "final" checkpoint a completed CLI
+#: run saves after training (+L-BFGS). Keeps the final weights distinct from
+#: the periodic full-state checkpoints in the same directory; `eval` reads
+#: the latest step (the marker), while resume prefers the latest REAL step
+#: below this offset (Trainer.init_or_restore).
+FINAL_MARKER_OFFSET = 1_000_000
 
 
 class Checkpointer:

@@ -201,13 +201,20 @@ class Trainer:
         Full-state checkpoints (params + optimizer moments + step) resume
         exactly; params-only checkpoints (e.g. a reference-style weights
         dump) restore with a fresh optimizer."""
-        from .checkpoint import Checkpointer
+        from .checkpoint import FINAL_MARKER_OFFSET, Checkpointer
 
         state = self.init(key)
         ckpt = Checkpointer(ckpt_dir)
-        step = ckpt.latest_step()
-        if step is None:
+        steps = sorted(ckpt.all_steps() or ())
+        if not steps:
             return state
+        # Prefer the latest full-state checkpoint over a completed run's
+        # params-only final marker (saved at step + FINAL_MARKER_OFFSET):
+        # resuming from the marker would start a fresh optimizer at an
+        # inflated step count. Only when the marker is ALL there is do we
+        # restore it (params-only, fresh optimizer).
+        real = [s for s in steps if s < FINAL_MARKER_OFFSET]
+        step = real[-1] if real else steps[-1]
         try:
             full = ckpt.restore(
                 step,

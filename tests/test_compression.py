@@ -106,10 +106,11 @@ def test_magnitude_pruning_mask_held_between_updates():
         p = optax.apply_updates(p, u)
         masks.append(np.asarray(st.mask["w"]))
     # steps 1-3 share the step-1 mask; step 4 recomputes (end_step always
-    # prunes), step 5 recomputes on the update_every cadence
+    # prunes); after end_step the mask FREEZES, so step 5 keeps step 4's
     assert np.array_equal(masks[0], masks[1])
     assert np.array_equal(masks[0], masks[2])
     assert not np.array_equal(masks[2], masks[3])  # denser -> sparser ramp
+    assert np.array_equal(masks[3], masks[4])  # frozen past end_step
     # after the ramp the kept fraction honors the schedule
     from nif_tpu.compression import sparsity
     assert sparsity(p) >= 0.4

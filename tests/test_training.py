@@ -111,6 +111,40 @@ def test_checkpoint_resume(tmp_path):
     assert np.all(np.isfinite(np.asarray(u)))
 
 
+def test_resume_prefers_full_state_over_final_marker(tmp_path):
+    """A completed CLI run leaves a params-only final marker at
+    step + FINAL_MARKER_OFFSET; resume must pick the latest REAL
+    full-state checkpoint below the offset (round-2 advisor finding)."""
+    from nif_tpu.training import Checkpointer
+    from nif_tpu.training.checkpoint import FINAL_MARKER_OFFSET
+
+    inputs, targets, _ = make_data()
+    model = nif_tpu.NIF(CFG_S, CFG_P)
+    trainer = Trainer(model, optax.adam(2e-3))
+    state = trainer.init(jax.random.key(0))
+    ckpt_dir = str(tmp_path / "ckpt")
+    state = trainer.fit(
+        state, inputs, targets, epochs=4, batch_size=1000,
+        callbacks=[CheckpointCallback(ckpt_dir, every=2)],
+    )
+    ckpt = Checkpointer(ckpt_dir)
+    ckpt.save(int(state.step) + FINAL_MARKER_OFFSET, state.params)
+    ckpt.wait()
+    resumed = Trainer(model, optax.adam(2e-3)).init_or_restore(
+        jax.random.key(99), ckpt_dir
+    )
+    assert int(resumed.step) == 6  # the full-state step, not the marker
+    # with ONLY a marker present, it restores that (params-only)
+    only_marker = str(tmp_path / "marker_only")
+    ck2 = Checkpointer(only_marker)
+    ck2.save(FINAL_MARKER_OFFSET + 8, state.params)
+    ck2.wait()
+    r2 = Trainer(model, optax.adam(2e-3)).init_or_restore(
+        jax.random.key(99), only_marker
+    )
+    assert int(r2.step) == FINAL_MARKER_OFFSET + 8
+
+
 def test_fresh_init_when_no_checkpoint(tmp_path):
     model = nif_tpu.NIF(CFG_S, CFG_P)
     trainer = Trainer(model, optax.adam(1e-3))
