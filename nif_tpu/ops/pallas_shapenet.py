@@ -25,7 +25,7 @@ Variants supported (same semantics as the XLA path):
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, List, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,8 +40,10 @@ __all__ = [
     "shapenet_grouped_fused",
     "shapenet_mse_grads",
     "fused_supported",
+    "fused_unsupported_reason",
     "niflinear_mse_grads",
     "linear_fused_supported",
+    "linear_fused_unsupported_reason",
 ]
 
 
@@ -115,19 +117,31 @@ def _act_pair(name: str) -> Tuple[Callable, Callable]:
     raise ValueError(f"activation {name!r} not supported by the fused kernel")
 
 
-def fused_supported(cfg: ShapeNetConfig, variant: str, P: int) -> bool:
-    """Whether the fused kernel handles this config (else XLA path)."""
+def fused_unsupported_reason(cfg: ShapeNetConfig, variant: str,
+                             P: int) -> Optional[str]:
+    """Why the fused kernel can NOT handle this config (None = it can).
+
+    The string feeds the fast-path fallback log (round-2 review: a user
+    with an awkward P silently trained ~8x slower on the XLA path)."""
     if cfg.connectivity != "full":
-        return False
+        return f"connectivity={cfg.connectivity!r} (fused kernel runs the full generated chain)"
     if variant == "vanilla":
         try:
             _act_pair(cfg.activation)
         except ValueError:
-            return False
-    if _pick_tile(P, cfg) is None:
-        return False
+            return f"activation {cfg.activation!r} has no fused kernel implementation"
     # Tiny widths gain nothing and hit Mosaic tiling corner cases.
-    return cfg.units >= 8
+    if cfg.units < 8:
+        return f"units={cfg.units} < 8 (tiny widths gain nothing from the kernel)"
+    if _pick_tile(P, cfg) is None:
+        return (f"points-per-group P={P} is not divisible by any supported "
+                f"point tile — pad P to a multiple of 256")
+    return None
+
+
+def fused_supported(cfg: ShapeNetConfig, variant: str, P: int) -> bool:
+    """Whether the fused kernel handles this config (else XLA path)."""
+    return fused_unsupported_reason(cfg, variant, P) is None
 
 
 # VMEM budget for the residuals held live by the backward/train kernels
@@ -794,17 +808,31 @@ def _pick_tile_linear(P: int, trunk_cfg: ShapeNetConfig, itemsize: int = 2):
     return None
 
 
+def linear_fused_unsupported_reason(trunk_cfg: ShapeNetConfig, so: int,
+                                    P: int) -> Optional[str]:
+    """Why the fused NIF-linear train kernel can NOT handle this config
+    (None = it can); see :func:`fused_unsupported_reason`."""
+    if so > 8:
+        return f"output_dim={so} > 8 (per-output contraction loop is static)"
+    if trunk_cfg.output_dim % so != 0:
+        return "trunk output width is not a multiple of output_dim"
+    if trunk_cfg.units < 8:
+        return f"units={trunk_cfg.units} < 8 (tiny widths gain nothing from the kernel)"
+    if _pick_tile_linear(P, trunk_cfg) is None:
+        return (f"points-per-group P={P} is not divisible by any supported "
+                f"point tile — pad P to a multiple of 256")
+    if trunk_cfg.connectivity != "full":
+        return f"trunk connectivity={trunk_cfg.connectivity!r}"
+    return None
+
+
 def linear_fused_supported(trunk_cfg: ShapeNetConfig, so: int, P: int) -> bool:
     """Whether the fused NIF-linear train kernel handles this config.
 
     ``trunk_cfg`` is the phi trunk viewed as a full-connectivity chain
     (output_dim = so * latent_dim); ``so`` stays small (it's the field's
     component count), so the per-output contraction loop is static."""
-    if so > 8 or trunk_cfg.output_dim % so != 0:
-        return False
-    if trunk_cfg.units < 8 or _pick_tile_linear(P, trunk_cfg) is None:
-        return False
-    return trunk_cfg.connectivity == "full"
+    return linear_fused_unsupported_reason(trunk_cfg, so, P) is None
 
 
 def _linear_train_kernel(cfg: ShapeNetConfig, n_w: int, so: int, K: int,
