@@ -52,6 +52,33 @@ def _load_pointwise(args, cfg):
     return inputs, targets, weight
 
 
+def _is_grouped_dir(path: str) -> bool:
+    """A data directory is grouped (GroupedDataset snapshots) when its
+    meta.json carries the grouped schema; point-wise shard dirs carry the
+    column-split schema instead."""
+    meta = os.path.join(path, "meta.json")
+    if not os.path.isfile(meta):
+        return False
+    with open(meta) as f:
+        return "n_groups" in json.load(f)
+
+
+def _resolve_layout(args) -> str:
+    if args.layout != "auto":
+        if args.layout == "grouped" and not (
+            os.path.isdir(args.data) and _is_grouped_dir(args.data)
+        ):
+            raise SystemExit(
+                "--layout grouped needs a GroupedDataset directory (see "
+                "nif_tpu.data.GroupedDataset.create_from_arrays); got "
+                f"{args.data!r}"
+            )
+        return args.layout
+    if os.path.isdir(args.data) and _is_grouped_dir(args.data):
+        return "grouped"
+    return "pointwise"
+
+
 def _open_sharded(args, cfg):
     """Open a ShardedDataset directory and validate its column split
     against the model config."""
@@ -149,6 +176,110 @@ def _train_streaming(args):
     return last_loss
 
 
+def _train_grouped(args):
+    """Streamed grouped-layout training: GroupedDataset group batches
+    through ``GroupedTrainer`` — the fused-kernel fast path as a product
+    (round-2 review: the 326-371x path required writing Python). Supports
+    ``--data-parallel`` meshes, resumable checkpoints, and exact
+    zero-weight padding of tail group batches."""
+    import jax
+    import numpy as np
+
+    from nif_tpu.data import GroupedDataset
+    from nif_tpu.optimizers import get_optimizer
+    from nif_tpu.parallel import batch_axis_size, make_mesh
+    from nif_tpu.training import CheckpointCallback, GroupedTrainer
+    from nif_tpu.training.trainer import pad_batch, reg_row_weights
+
+    if args.lbfgs:
+        raise SystemExit(
+            "--lbfgs needs the full dataset in memory; pass an .npz "
+            "instead of a grouped shard directory"
+        )
+    model, cfg = _build_model(args)
+    ds = GroupedDataset(args.data)
+    mesh = make_mesh() if args.data_parallel else None
+    group_batch = args.group_batch
+    if mesh is not None:
+        group_batch += (-group_batch) % batch_axis_size(mesh)
+    P = int(ds.meta["points_per_group"])
+    point_batch = min(args.point_batch or P, P)
+
+    trainer = GroupedTrainer(model, get_optimizer(args.optimizer, args.lr),
+                             mesh=mesh, seed=args.seed)
+    if args.ckpt_dir:
+        state = trainer.init_or_restore(jax.random.key(args.seed), args.ckpt_dir)
+        if state.step:
+            print(f"resumed from step {state.step}")
+    else:
+        state = trainer.init(jax.random.key(args.seed))
+    ckpt_cb = (CheckpointCallback(args.ckpt_dir,
+                                  every=max(args.epochs // 10, 1))
+               if args.ckpt_dir else None)
+    if ds.steps_per_epoch(group_batch, drop_remainder=False) == 0:
+        raise SystemExit("the grouped dataset is empty")
+
+    use_reg = trainer.use_reg and model.has_regularization
+    checked = False
+    cur_epoch, last_loss = -1, None
+    for epoch, bt, bx, bu, bw in ds.iter_batches(
+        group_batch=group_batch, point_batch=point_batch,
+        epochs=args.epochs, seed=args.seed,
+    ):
+        if not checked:
+            pi = cfg.parameter_net.input_dim
+            si, so = cfg.shape_net.input_dim, cfg.shape_net.output_dim
+            if (bt.shape[1], bx.shape[2], bu.shape[2]) != (pi, si, so):
+                raise SystemExit(
+                    f"grouped dataset dims t/x/u = {bt.shape[1]}/"
+                    f"{bx.shape[2]}/{bu.shape[2]} do not match the config "
+                    f"({pi}/{si}/{so})"
+                )
+            checked = True
+        if epoch != cur_epoch and cur_epoch >= 0:
+            print(f"epoch {cur_epoch:5d}  loss {float(last_loss):.6e}")
+            if ckpt_cb is not None:
+                ckpt_cb.on_epoch_end(trainer, state, cur_epoch, {})
+        cur_epoch = epoch
+        b = bt.shape[0]
+        rw = None
+        if b < group_batch or bw is not None:
+            # exact zero-weight padding: tail batches keep one executable
+            # shape and train every group (see trainer.pad_batch)
+            (bt, bx, bu), w_rows = pad_batch((bt, bx, bu), None, b,
+                                             group_batch)
+            pb = bx.shape[1]
+            bw = (np.broadcast_to(w_rows[:, None], (group_batch, pb))
+                  if bw is None
+                  else np.concatenate(
+                      [bw, np.zeros((group_batch - b, pb), bw.dtype)]
+                  ) * w_rows[:, None])
+            bw = np.ascontiguousarray(bw, np.float32)
+            if use_reg:
+                rw = reg_row_weights(b, group_batch)
+        state, loss = trainer.step(state, bt, bx, bu, bw, rw)
+        last_loss = loss
+    last_loss = float(last_loss)
+    print(f"epoch {cur_epoch:5d}  loss {last_loss:.6e}")
+    print(f"compute path: {trainer.history.get('path', '?')}"
+          + (f" ({trainer.history['path_reason']})"
+             if "path_reason" in trainer.history else ""))
+    if ckpt_cb is not None:
+        ckpt_cb.on_epoch_end(trainer, state, cur_epoch, {})
+        ckpt_cb.on_train_end(trainer, state)
+    print(f"final loss: {last_loss:.6e}")
+    if args.ckpt_dir:
+        from nif_tpu.training import Checkpointer
+        from nif_tpu.training.checkpoint import FINAL_MARKER_OFFSET
+
+        ckpt = Checkpointer(args.ckpt_dir)
+        ckpt.save(int(state.step) + FINAL_MARKER_OFFSET, state.params)
+        ckpt.wait()
+        model.save_config(os.path.join(args.ckpt_dir, "config.json"))
+        print(f"saved final checkpoint + config to {args.ckpt_dir}")
+    return last_loss
+
+
 def _cmd_train(args):
     import jax
 
@@ -157,6 +288,9 @@ def _cmd_train(args):
     from nif_tpu.parallel import make_mesh
     from nif_tpu.training import CheckpointCallback, LossPrintingCallback, Trainer
 
+    layout = _resolve_layout(args)
+    if layout == "grouped":
+        return _train_grouped(args)
     if os.path.isdir(args.data):
         return _train_streaming(args)
     model, cfg = _build_model(args)
@@ -221,6 +355,7 @@ def _cmd_eval(args):
     if not args.ckpt_dir:
         raise SystemExit("eval requires --ckpt-dir (a trained checkpoint)")
     model, cfg = _build_model(args)
+    layout = _resolve_layout(args)
     streaming = os.path.isdir(args.data)
     if not streaming:
         inputs, targets, _ = _load_pointwise(args, cfg)
@@ -248,7 +383,41 @@ def _cmd_eval(args):
                 "either a params-only or a full-state tree (both attempts "
                 "shown above)"
             ) from e2
-    if streaming:
+    if layout == "grouped":
+        # grouped snapshots: full-P group chunks through apply_grouped —
+        # the same accumulated metric GroupedTrainer.evaluate computes,
+        # plus rel-L2; tails pad to one executable shape.
+        from nif_tpu.data import GroupedDataset
+
+        ds = GroupedDataset(args.data)
+        P = int(ds.meta["points_per_group"])
+        gb = max(1, 4_000_000 // max(P, 1))
+        apply_fn = jax.jit(
+            lambda p, t, x: model.apply_grouped(p, t, x)
+        )
+        se = st = n_el = 0.0
+        for _, bt, bx, bu, _w in ds.iter_batches(
+            group_batch=gb, point_batch=None, epochs=1, seed=0
+        ):
+            b = bt.shape[0]
+            if b < gb:
+                pad = gb - b
+                bt = np.concatenate(
+                    [bt, np.broadcast_to(bt[:1], (pad,) + bt.shape[1:])]
+                )
+                bx = np.concatenate(
+                    [bx, np.broadcast_to(bx[:1], (pad,) + bx.shape[1:])]
+                )
+            pred = np.asarray(
+                apply_fn(params, jnp.asarray(bt), jnp.asarray(bx))
+            )[:b]
+            d = pred.astype(np.float64) - bu.astype(np.float64)
+            se += float(np.sum(d * d))
+            st += float(np.sum(bu.astype(np.float64) ** 2))
+            n_el += bu.size
+        mse = se / max(n_el, 1)
+        rl2 = float(np.sqrt(se / max(st, 1e-300)))
+    elif streaming:
         # accumulate the error/target sums shard by shard — same metrics,
         # no full-dataset materialization. ONE jitted executable: tail
         # batches pad up to the fixed batch size (predict() would rebuild
@@ -291,6 +460,11 @@ def main(argv=None):
     common.add_argument("--batch-size", type=int, default=2048)
     common.add_argument("--ckpt-dir", default=None)
     common.add_argument("--seed", type=int, default=0)
+    common.add_argument(
+        "--layout", choices=["auto", "pointwise", "grouped"], default="auto",
+        help="grouped = snapshot-structured GroupedDataset directory "
+        "through the fused-kernel fast path (auto-detected from meta.json)",
+    )
 
     tp = sub.add_parser("train", parents=[common])
     tp.add_argument("--epochs", type=int, default=1000)
@@ -300,6 +474,10 @@ def main(argv=None):
     tp.add_argument("--lbfgs", type=int, default=0,
                     help="L-BFGS fine-tune iterations after Adam")
     tp.add_argument("--data-parallel", action="store_true")
+    tp.add_argument("--group-batch", type=int, default=8,
+                    help="groups per step (grouped layout)")
+    tp.add_argument("--point-batch", type=int, default=4096,
+                    help="point subsample per group per step (grouped layout)")
     tp.set_defaults(fn=_cmd_train)
 
     ep = sub.add_parser("eval", parents=[common])

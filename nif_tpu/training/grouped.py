@@ -105,6 +105,8 @@ class GroupedTrainer:
                 check_vma=False,
             )(params, t, x, u, *present)
 
+        self._value_and_grad = value_and_grad
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, t, x, u, w=None, rw=None):
             loss, grads = value_and_grad(state.params, t, x, u, w, rw)
@@ -114,17 +116,44 @@ class GroupedTrainer:
 
         self._step = step
 
+    def _record_path(self, P: int) -> None:
+        """Record (once) which compute path P-point group batches take —
+        ``history["path"]``/``history["path_reason"]`` — and let the model
+        emit its one-time fused/fallback log. Round-2 review: the ~6-8x
+        XLA fallback must be observable from the trainer."""
+        if "path" in self.history:
+            return
+        info = self.model.fast_path_info(P)
+        self.history["path"] = info["path"]
+        if info["reason"]:
+            self.history["path_reason"] = info["reason"]
+        self.model._announce_path(P)
+
     def step(self, state: TrainState, t, x, u, w=None, rw=None):
         """One jitted training step on a (t, x, u[, w]) group batch —
         for custom loops (e.g. streaming from GroupedDataset)."""
-        return self._step(state, *self._put(np.asarray(t), np.asarray(x),
+        x = np.asarray(x)
+        self._record_path(x.shape[1])
+        return self._step(state, *self._put(np.asarray(t), x,
                                             np.asarray(u), w, rw))
 
     def init(self, key) -> TrainState:
         params = self.model.init(key)
+        opt_state = self.tx.init(params)
         if self.mesh is not None:
+            # place BOTH trees explicitly: checkpoint templates take their
+            # shardings from here, and a restore re-places committed
+            # host arrays onto them (single-device opt_state next to
+            # replicated params would poison the jitted step)
             params = put_replicated(params, self.mesh)
-        return TrainState(params, self.tx.init(params), 0)
+            opt_state = put_replicated(opt_state, self.mesh)
+        return TrainState(params, opt_state, 0)
+
+    def init_or_restore(self, key, ckpt_dir: str) -> TrainState:
+        """Resumable init (same semantics as ``Trainer.init_or_restore``)."""
+        from .trainer import restore_or_init_state
+
+        return restore_or_init_state(self, key, ckpt_dir)
 
     def _put(self, *arrays):
         return put_batch_tuple(arrays, self.mesh)
@@ -206,6 +235,7 @@ class GroupedTrainer:
         if point_sampling not in ("uniform", "residual"):
             raise ValueError(f"unknown point_sampling {point_sampling!r}")
         probs = None
+        self._record_path(point_batch)
 
         for cb in callbacks:
             cb.on_train_begin(self)
@@ -281,24 +311,201 @@ class GroupedTrainer:
             cb.on_train_end(self, state)
         return state
 
-    def evaluate(self, state: TrainState, t, x, u, sample_weight=None,
-                 group_batch: Optional[int] = None) -> float:
-        """Mean (weighted) MSE over the full grouped dataset, accumulated
-        in group chunks so evaluation never materializes more activations
-        than a training step."""
+    def _eval_sums(self, state: TrainState, t, x, u, sample_weight=None,
+                   group_batch: Optional[int] = None):
+        """LOCAL (sse, sst, n_el) accumulated in fixed-shape group chunks.
+
+        One jitted executable (tails pad with zero-weight filler); under a
+        single-process mesh the chunk shards over the batch axes and XLA
+        inserts the cross-device psum for the sums. Multi-process callers
+        reduce the returned partial sums with
+        :func:`nif_tpu.training.evaluation.global_sums`.
+        """
         t, x, u = np.asarray(t), np.asarray(x), np.asarray(u)
         G, P = x.shape[0], x.shape[1]
         gb = min(group_batch or max(1, 4_000_000 // max(P, 1)), G)
-        total = 0.0
+        use_mesh = self.mesh is not None and jax.process_count() == 1
+        if use_mesh:
+            gb += (-gb) % batch_axis_size(self.mesh)
+
+        chunk_sums = getattr(self, "_eval_chunk_sums", None)
+        if chunk_sums is None:
+            @jax.jit
+            def chunk_sums(params, tc, xc, uc, w, m):
+                pred = self.model.apply_grouped(params, tc, xc)
+                uc = uc.astype(pred.dtype)
+                err = jnp.square(pred - uc) * w[..., None].astype(pred.dtype)
+                sse = jnp.sum(err.astype(jnp.float32))
+                sst = jnp.sum(
+                    (jnp.square(uc) * m[..., None].astype(uc.dtype))
+                    .astype(jnp.float32)
+                )
+                return sse, sst
+
+            self._eval_chunk_sums = chunk_sums
+
+        sse = sst = 0.0
         for s in range(0, G, gb):
             sl = slice(s, min(s + gb, G))
-            pred = self.model.apply_grouped(
-                state.params, jnp.asarray(t[sl]), jnp.asarray(x[sl])
+            bt, bx, bu = t[sl], x[sl], u[sl]
+            b = bt.shape[0]
+            w = (np.ones((b, P), np.float32) if sample_weight is None
+                 else np.asarray(sample_weight[sl], np.float32))
+            m = np.ones((b, P), np.float32)
+            if b < gb:  # zero-weight pad keeps one executable shape
+                pad = gb - b
+                bt = np.concatenate(
+                    [bt, np.broadcast_to(bt[:1], (pad,) + bt.shape[1:])])
+                bx = np.concatenate(
+                    [bx, np.broadcast_to(bx[:1], (pad,) + bx.shape[1:])])
+                bu = np.concatenate(
+                    [bu, np.broadcast_to(bu[:1], (pad,) + bu.shape[1:])])
+                w = np.concatenate([w, np.zeros((pad, P), np.float32)])
+                m = np.concatenate([m, np.zeros((pad, P), np.float32)])
+            if use_mesh:
+                bt, bx, bu, w, m = self._put(bt, bx, bu, w, m)
+            cs, ct = chunk_sums(state.params, bt, bx, bu, w, m)
+            sse += float(cs)
+            sst += float(ct)
+        return sse, sst, float(G * P * u.shape[-1])
+
+    def fit_resident(
+        self,
+        state: TrainState,
+        t: np.ndarray,
+        x: np.ndarray,
+        u: np.ndarray,
+        sample_weight: Optional[np.ndarray] = None,
+        epochs: int = 1,
+        group_batch: Optional[int] = None,
+        point_batch: Optional[int] = None,
+        callbacks: Sequence = (),
+        verbose_every: int = 0,
+        seed: Optional[int] = None,
+        validation_data=None,
+        validation_every: int = 1,
+    ) -> TrainState:
+        """Device-resident training: stage the WHOLE grouped dataset on
+        the device/mesh once and subsample group/point batches ON device
+        inside the jitted step — zero per-step host-to-device traffic.
+
+        This is the TPU-first layout for datasets that fit in HBM (e.g.
+        the 16.7M-point paper workload is ~250 MB): ``fit`` moves the
+        subsampled batch across PCIe/relay every step, which can dominate
+        the ~ms step itself. Sampling differences vs ``fit``: points are
+        drawn iid uniform WITH replacement (an unbiased SGD subsample;
+        avoids a [G, P] top-k per step), groups without replacement via a
+        fresh permutation prefix. Under a mesh, t/x/u shard over the
+        group axis and the gather stays shard-local.
+        """
+        t, x, u = np.asarray(t), np.asarray(x), np.asarray(u)
+        G, P = x.shape[0], x.shape[1]
+        group_batch = min(group_batch or G, G)
+        point_batch = min(point_batch or P, P)
+        n_div = 1 if self.mesh is None else batch_axis_size(self.mesh)
+        if G % n_div:
+            raise ValueError(
+                f"fit_resident: G={G} groups must divide the mesh batch "
+                f"axes ({n_div}) — the dataset itself is sharded over them"
             )
-            err = jnp.square(pred - jnp.asarray(u[sl], pred.dtype))
-            if sample_weight is not None:
-                err = err * jnp.asarray(
-                    sample_weight[sl]
-                )[..., None].astype(pred.dtype)
-            total += float(jnp.sum(err))
-        return total / (G * P * u.shape[-1])
+        group_batch += (-group_batch) % n_div
+        group_batch = min(group_batch, G)
+        self._record_path(point_batch)
+
+        td, xd, ud, wd = self._put(t, x, u, sample_weight)
+        steps_per_epoch = max(G // group_batch, 1)
+
+        key_cache = ("_resident_step", group_batch, point_batch,
+                     wd is not None)
+        step = getattr(self, "_resident_cache", {}).get(key_cache)
+        if step is None:
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step(state: TrainState, key, td, xd, ud, wd=None):
+                kg, kp = jax.random.split(key)
+                if group_batch < G:
+                    gsel = jax.random.permutation(kg, G)[:group_batch]
+                    tb = jnp.take(td, gsel, axis=0)
+                    xg = jnp.take(xd, gsel, axis=0)
+                    ug = jnp.take(ud, gsel, axis=0)
+                    wg = None if wd is None else jnp.take(wd, gsel, axis=0)
+                else:
+                    tb, xg, ug, wg = td, xd, ud, wd
+                if point_batch < P:
+                    idx = jax.random.randint(
+                        kp, (group_batch, point_batch), 0, P
+                    )
+                    xb = jnp.take_along_axis(xg, idx[..., None], axis=1)
+                    ub = jnp.take_along_axis(ug, idx[..., None], axis=1)
+                    wb = (None if wg is None
+                          else jnp.take_along_axis(wg, idx, axis=1))
+                else:
+                    xb, ub, wb = xg, ug, wg
+                loss, grads = self._value_and_grad(
+                    state.params, tb, xb, ub, wb, None
+                )
+                updates, opt_state = self.tx.update(
+                    grads, state.opt_state, state.params
+                )
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state, state.step + 1), loss
+
+            self.__dict__.setdefault("_resident_cache", {})[key_cache] = step
+
+        base = self._rng.integers(2**63) if seed is None else seed
+        root = jax.random.key(base)
+        for cb in callbacks:
+            cb.on_train_begin(self)
+        step_i = 0
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            losses = []
+            for _ in range(steps_per_epoch):
+                k = jax.random.fold_in(root, step_i)
+                step_i += 1
+                args = (state, k, td, xd, ud) + (
+                    (wd,) if wd is not None else ()
+                )
+                state, loss = step(*args)
+                losses.append(loss)
+            epoch_loss = float(np.mean(jax.device_get(losses)))
+            self.history["epoch"].append(epoch)
+            self.history["loss"].append(epoch_loss)
+            logs = {"loss": epoch_loss, "epoch": epoch,
+                    "time": time.perf_counter() - t0}
+            if validation_data is not None and epoch % validation_every == 0:
+                vt, vx, vu = validation_data
+                logs["val_loss"] = self.evaluate(state, vt, vx, vu)
+                self.history.setdefault("val_loss", []).append(logs["val_loss"])
+                self.history.setdefault("val_epoch", []).append(epoch)
+            if verbose_every and epoch % verbose_every == 0:
+                print(f"epoch {epoch:5d}  loss {epoch_loss:.6e}  "
+                      f"({logs['time']:.3f}s)")
+            for cb in callbacks:
+                cb.on_epoch_end(self, state, epoch, logs)
+        for cb in callbacks:
+            cb.on_train_end(self, state)
+        return state
+
+    def evaluate(self, state: TrainState, t, x, u, sample_weight=None,
+                 group_batch: Optional[int] = None) -> float:
+        """GLOBAL mean (weighted) MSE over the full grouped dataset —
+        identical on every process of a multi-host run (partial sums are
+        allgather-reduced; every process must call this in lockstep)."""
+        from .evaluation import global_sums
+
+        sse, _sst, n_el = self._eval_sums(state, t, x, u, sample_weight,
+                                          group_batch)
+        sse, n_el = global_sums(sse, n_el)
+        return sse / max(n_el, 1.0)
+
+    def evaluate_metrics(self, state: TrainState, t, x, u,
+                         sample_weight=None,
+                         group_batch: Optional[int] = None) -> Dict[str, float]:
+        """Global ``{"mse", "rel_l2"}`` — the north-star metrics, computable
+        on a striped multi-host dataset (round-2 review item 3)."""
+        from .evaluation import global_sums, metrics_from_sums
+
+        sse, sst, n_el = self._eval_sums(state, t, x, u, sample_weight,
+                                         group_batch)
+        sse, sst, n_el = global_sums(sse, sst, n_el)
+        return metrics_from_sums(sse, sst, n_el)

@@ -29,7 +29,7 @@ from ..parallel.mesh import (
 )
 
 __all__ = ["TrainState", "Trainer", "make_train_step", "pad_batch",
-           "reg_row_weights"]
+           "reg_row_weights", "restore_or_init_state"]
 
 
 def pad_batch(arrays, weight, n_real: int, n_target: int):
@@ -87,6 +87,50 @@ class TrainState:
 jax.tree_util.register_pytree_node(
     TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
 )
+
+
+def _match_placement(tree, template):
+    """Re-place restored leaves onto the template's shardings: orbax
+    returns process-local arrays, so resuming under a mesh would otherwise
+    mix replicated params with single-device optimizer state."""
+    return jax.tree_util.tree_map(
+        lambda r, t: (jax.device_put(r, t.sharding)
+                      if isinstance(t, jax.Array) else r),
+        tree, template,
+    )
+
+
+def restore_or_init_state(trainer, key, ckpt_dir: str) -> TrainState:
+    """Shared resumable-init used by both ``Trainer`` and
+    ``GroupedTrainer``: latest full-state checkpoint if present, else
+    params-only (fresh optimizer), else a fresh ``trainer.init(key)``."""
+    from .checkpoint import FINAL_MARKER_OFFSET, Checkpointer
+
+    state = trainer.init(key)
+    ckpt = Checkpointer(ckpt_dir)
+    steps = sorted(ckpt.all_steps() or ())
+    if not steps:
+        return state
+    # Prefer the latest full-state checkpoint over a completed run's
+    # params-only final marker (saved at step + FINAL_MARKER_OFFSET):
+    # resuming from the marker would start a fresh optimizer at an
+    # inflated step count. Only when the marker is ALL there is do we
+    # restore it (params-only, fresh optimizer).
+    real = [s for s in steps if s < FINAL_MARKER_OFFSET]
+    step = real[-1] if real else steps[-1]
+    try:
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        full = _match_placement(ckpt.restore(step, template=template),
+                                template)
+        return TrainState(full["params"], full["opt_state"], full["step"])
+    except Exception:
+        params = _match_placement(ckpt.restore(step, template=state.params),
+                                  state.params)
+        return TrainState(params, trainer.tx.init(params), step)
 
 
 def make_loss_fn(model, use_reg: bool = True) -> Callable:
@@ -166,8 +210,13 @@ class Trainer:
         self.history: Dict[str, List[float]] = {"epoch": [], "loss": []}
 
     def _maybe_shard_opt_state(self, opt_state):
-        if self.mesh is None or not self.shard_opt_state:
+        if self.mesh is None:
             return opt_state
+        if not self.shard_opt_state:
+            # explicit replication (not just uncommitted default placement)
+            # so checkpoint-restore templates carry mesh shardings — see
+            # restore_or_init_state._match_placement
+            return put_replicated(opt_state, self.mesh)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_data = self.mesh.shape.get("data", 1)
@@ -201,33 +250,7 @@ class Trainer:
         Full-state checkpoints (params + optimizer moments + step) resume
         exactly; params-only checkpoints (e.g. a reference-style weights
         dump) restore with a fresh optimizer."""
-        from .checkpoint import FINAL_MARKER_OFFSET, Checkpointer
-
-        state = self.init(key)
-        ckpt = Checkpointer(ckpt_dir)
-        steps = sorted(ckpt.all_steps() or ())
-        if not steps:
-            return state
-        # Prefer the latest full-state checkpoint over a completed run's
-        # params-only final marker (saved at step + FINAL_MARKER_OFFSET):
-        # resuming from the marker would start a fresh optimizer at an
-        # inflated step count. Only when the marker is ALL there is do we
-        # restore it (params-only, fresh optimizer).
-        real = [s for s in steps if s < FINAL_MARKER_OFFSET]
-        step = real[-1] if real else steps[-1]
-        try:
-            full = ckpt.restore(
-                step,
-                template={
-                    "params": state.params,
-                    "opt_state": state.opt_state,
-                    "step": state.step,
-                },
-            )
-            return TrainState(full["params"], full["opt_state"], full["step"])
-        except Exception:
-            params = ckpt.restore(step, template=state.params)
-            return TrainState(params, self.tx.init(params), step)
+        return restore_or_init_state(self, key, ckpt_dir)
 
     def _put_batch(self, *arrays):
         return put_batch_tuple(arrays, self.mesh)
@@ -307,46 +330,84 @@ class Trainer:
             cb.on_train_end(self, state)
         return state
 
-    def evaluate(self, state: TrainState, inputs, targets, sample_weight=None,
-                 batch_size: int = 65536) -> float:
-        """Mean (weighted) MSE over the whole dataset, accumulated in
-        fixed-size batches — one compiled executable, no full-dataset
-        forward (``fit`` trains datasets far larger than one activation
-        buffer; evaluation must not be the thing that OOMs)."""
+    def _eval_sums(self, state: TrainState, inputs, targets,
+                   sample_weight=None, batch_size: int = 65536):
+        """LOCAL (sse, sst, n_el) in fixed-size batches — one compiled
+        executable, no full-dataset forward. Under a single-process mesh
+        the batch shards over the mesh (XLA inserts the psum for the sum);
+        multi-process callers hold local stripes and reduce with
+        :func:`nif_tpu.training.evaluation.global_sums`."""
         inputs = np.asarray(inputs)
         targets = np.asarray(targets)
         n = inputs.shape[0]
         if n == 0:
-            return float("nan")
+            return 0.0, 0.0, 0.0
         bs = min(batch_size, n)
-        n_div = 1 if self.mesh is None else batch_axis_size(self.mesh)
-        bs += (-bs) % n_div
+        use_mesh = self.mesh is not None and jax.process_count() == 1
+        if use_mesh:
+            bs += (-bs) % batch_axis_size(self.mesh)
 
         # cached on self: jax.jit keys on function identity, so a fresh
         # closure per evaluate() call would recompile on every validation
         # epoch
-        chunk_sum = getattr(self, "_eval_chunk_sum", None)
-        if chunk_sum is None:
+        chunk_sums = getattr(self, "_eval_chunk_sums", None)
+        if chunk_sums is None:
             @jax.jit
-            def chunk_sum(params, i, t, w):
+            def chunk_sums(params, i, t, w, m):
                 pred = self.model.apply(params, i)
-                err = jnp.square(pred - t.astype(pred.dtype))
-                return jnp.sum(err * w[..., None].astype(pred.dtype))
+                t = t.astype(pred.dtype)
+                err = jnp.square(pred - t) * w[..., None].astype(pred.dtype)
+                sse = jnp.sum(err.astype(jnp.float32))
+                sst = jnp.sum(
+                    (jnp.square(t) * m[..., None].astype(t.dtype))
+                    .astype(jnp.float32)
+                )
+                return sse, sst
 
-            self._eval_chunk_sum = chunk_sum
+            self._eval_chunk_sums = chunk_sums
 
         sw = (np.ones(n, np.float32) if sample_weight is None
               else np.asarray(sample_weight, np.float32).reshape(n))
-        total = 0.0
+        sse = sst = 0.0
         for s in range(0, n, bs):
             bi, bt = inputs[s : s + bs], targets[s : s + bs]
             w = sw[s : s + bs]
             b = len(w)
+            m = np.ones(b, np.float32)
             if b < bs:  # zero-weight pad keeps the executable shape fixed
                 pad = bs - b
                 bi = np.concatenate([bi, np.broadcast_to(bi[:1], (pad,) + bi.shape[1:])])
                 bt = np.concatenate([bt, np.broadcast_to(bt[:1], (pad,) + bt.shape[1:])])
                 w = np.concatenate([w, np.zeros(pad, np.float32)])
-            bi, bt, bw = self._put_batch(bi, bt, w)
-            total += float(chunk_sum(state.params, bi, bt, bw))
-        return total / (n * targets.shape[-1])
+                m = np.concatenate([m, np.zeros(pad, np.float32)])
+            if use_mesh:
+                bi, bt, bw, bm = self._put_batch(bi, bt, w, m)
+            else:
+                bi, bt, bw, bm = (jnp.asarray(a) for a in (bi, bt, w, m))
+            cs, ct = chunk_sums(state.params, bi, bt, bw, bm)
+            sse += float(cs)
+            sst += float(ct)
+        return sse, sst, float(n * targets.shape[-1])
+
+    def evaluate(self, state: TrainState, inputs, targets, sample_weight=None,
+                 batch_size: int = 65536) -> float:
+        """GLOBAL mean (weighted) MSE over the whole dataset — identical on
+        every process of a multi-host run (per-host partial sums are
+        allgather-reduced; every process must call this in lockstep)."""
+        from .evaluation import global_sums
+
+        sse, _sst, n_el = self._eval_sums(state, inputs, targets,
+                                          sample_weight, batch_size)
+        sse, n_el = global_sums(sse, n_el)
+        return sse / n_el if n_el else float("nan")
+
+    def evaluate_metrics(self, state: TrainState, inputs, targets,
+                         sample_weight=None,
+                         batch_size: int = 65536) -> Dict[str, float]:
+        """Global ``{"mse", "rel_l2"}`` over a (possibly striped) dataset."""
+        from .evaluation import global_sums, metrics_from_sums
+
+        sse, sst, n_el = self._eval_sums(state, inputs, targets,
+                                         sample_weight, batch_size)
+        sse, sst, n_el = global_sums(sse, sst, n_el)
+        return metrics_from_sums(sse, sst, n_el)
