@@ -25,6 +25,20 @@ import json
 import os
 
 
+def worker_model():
+    """The fixed tiny model the integration harness trains — exposed so
+    tests can rebuild it to cross-check reported global metrics."""
+    import nif_tpu
+
+    return nif_tpu.NIFMultiScale(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 2, "latent_dim": 4, "units": 16, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+
+
 def run_worker(
     coordinator: str,
     num_processes: int,
@@ -35,6 +49,7 @@ def run_worker(
     epochs: int = 2,
     group_batch_per_host: int = None,
     point_batch: int = 64,
+    ckpt_dir: str = None,
 ) -> float:
     """One process of a multi-host data-parallel training run.
 
@@ -86,18 +101,16 @@ def run_worker(
     import numpy as np
     import optax
 
-    import nif_tpu
-
-    model = nif_tpu.NIFMultiScale(
-        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
-         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
-         "connectivity": "full", "weight_init_factor": 0.1},
-        {"input_dim": 2, "latent_dim": 4, "units": 16, "nlayers": 1,
-         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
-    )
+    model = worker_model()
     trainer = GroupedTrainer(model, optax.adam(1e-3), mesh=mesh)
-    # Same seed everywhere -> identical replicated params.
-    state = trainer.init(jax.random.key(0))
+    # Same seed everywhere -> identical replicated params. With a shared
+    # ckpt_dir the run is resumable pod-style: orbax saves/restores are
+    # collective (every process participates; the primary writes).
+    if ckpt_dir:
+        state = trainer.init_or_restore(jax.random.key(0), ckpt_dir)
+    else:
+        state = trainer.init(jax.random.key(0))
+    resumed_step = int(state.step)
 
     ds = GroupedDataset()
     ds.open(data_dir, host_id=process_id, num_hosts=num_processes)
@@ -118,7 +131,7 @@ def run_worker(
             "or use fewer hosts"
         )
 
-    loss = float("nan")
+    loss = first_loss = float("nan")
     cur_epoch, taken = -1, 0
     for epoch, bt, bx, bu, _ in ds.iter_batches(
         group_batch=group_batch_per_host, point_batch=point_batch,
@@ -131,16 +144,70 @@ def run_worker(
         taken += 1
         state, loss_arr = trainer.step(state, bt, bx, bu)
         loss = float(loss_arr)
+        if np.isnan(first_loss):
+            first_loss = loss
+
+    if ckpt_dir:
+        from ..training import Checkpointer
+
+        ckpt = Checkpointer(ckpt_dir)
+        ckpt.save(int(state.step), {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": int(state.step),
+        })
+        ckpt.wait()
+
+    # ---- global evaluation: each host accumulates LOCAL error/target
+    # sums over its own stripe (host-local jit, no collectives), then ONE
+    # tiny allgather reduces them — the north-star rel-L2 at pod scale
+    # (round-2 review: only the final step loss was reported).
+    import jax.numpy as jnp
+
+    from ..training.evaluation import global_sums, metrics_from_sums
+
+    def to_local(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            # replicated multi-host array: any addressable shard IS the value
+            return np.asarray(a.addressable_shards[0].data)
+        return np.asarray(a)
+
+    local_params = jax.tree_util.tree_map(to_local, state.params)
+    apply_local = jax.jit(lambda p, bt, bx: model.apply_grouped(p, bt, bx))
+    se = st = n_el = 0.0
+    for _, bt, bx, bu, _w in ds.iter_batches(
+        group_batch=group_batch_per_host, point_batch=None, epochs=1,
+        seed=0, drop_remainder=False,
+    ):
+        pred = np.asarray(
+            apply_local(local_params, jnp.asarray(bt), jnp.asarray(bx))
+        )
+        d = pred.astype(np.float64) - bu.astype(np.float64)
+        se += float(np.sum(d * d))
+        st += float(np.sum(bu.astype(np.float64) ** 2))
+        n_el += bu.size
+    se, st, n_el = global_sums(se, st, n_el)
+    metrics = metrics_from_sums(se, st, n_el)
+
     result = {
         "process_id": process_id,
         "num_processes": jax.process_count(),
         "global_devices": len(jax.devices()),
         "final_loss": loss,
+        "first_loss": first_loss,
+        "resumed_step": resumed_step,
         "steps": int(state.step),
+        "global_mse": metrics["mse"],
+        "global_rel_l2": metrics["rel_l2"],
     }
     if out_path:
         with open(out_path, "w") as f:
             json.dump(result, f)
+        # final params for cross-checking the global metric against a
+        # single-process full-dataset computation (tests/test_multihost.py)
+        leaves = jax.tree_util.tree_leaves(local_params)
+        np.savez(out_path + ".params.npz",
+                 **{f"leaf_{i}": l for i, l in enumerate(leaves)})
     print(f"multihost worker {process_id}: {result}")
     return loss
 
@@ -154,6 +221,7 @@ def launch_local_cluster(
     group_batch_per_host: int = None,
     point_batch: int = 64,
     timeout: float = 540.0,
+    ckpt_dir: str = None,
 ):
     """Spawn ``n_processes`` local CPU worker subprocesses forming a
     jax.distributed cluster over ``data_dir``'s GroupedDataset shards, and
@@ -183,6 +251,8 @@ def launch_local_cluster(
     if out_dir is None:
         own_tmp = tempfile.TemporaryDirectory()
         out_dir = own_tmp.name
+    else:
+        os.makedirs(out_dir, exist_ok=True)
     try:
         procs, outs = [], []
         for pid in range(n_processes):
@@ -200,6 +270,8 @@ def launch_local_cluster(
             ]
             if group_batch_per_host is not None:
                 cmd += ["--group-batch-per-host", str(group_batch_per_host)]
+            if ckpt_dir is not None:
+                cmd += ["--ckpt-dir", ckpt_dir]
             procs.append(subprocess.Popen(
                 cmd, env=env, cwd=repo_root,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -228,11 +300,12 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--group-batch-per-host", type=int, default=None)
     ap.add_argument("--point-batch", type=int, default=64)
+    ap.add_argument("--ckpt-dir", default=None)
     args = ap.parse_args(argv)
     run_worker(
         args.coordinator, args.num_processes, args.process_id,
         args.data_dir, args.out, args.devices_per_process, args.epochs,
-        args.group_batch_per_host, args.point_batch,
+        args.group_batch_per_host, args.point_batch, args.ckpt_dir,
     )
 
 

@@ -1,0 +1,52 @@
+"""Global (mesh / multi-host) evaluation helpers.
+
+The north-star metric (rel-L2, BASELINE.md) must be computable at pod
+scale, where the dataset is striped across hosts (round-2 review: the
+trainers' evaluators were host-local and the multihost worker reported
+only the final step loss). The recipe:
+
+* each host accumulates LOCAL error/target sums — coordinate points are
+  independent, so evaluation needs no collectives until the final scalar
+  reduction;
+* :func:`global_sums` reduces the per-host partial sums with
+  ``multihost_utils.process_allgather`` (a single tiny all-gather over
+  DCN), giving every process the identical global metric;
+* single-process meshes instead shard the eval batch over the mesh inside
+  one jit — XLA inserts the cross-device psum for the ``jnp.sum``.
+
+No reference equivalent: the reference's ceiling is single-node
+``MirroredStrategy`` and its metrics are whatever ``model.evaluate``
+prints (reference README.md:42-52).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import numpy as np
+
+__all__ = ["global_sums", "metrics_from_sums"]
+
+
+def global_sums(*partials: float) -> Tuple[float, ...]:
+    """Sum scalar partial sums across every JAX process.
+
+    Single-process: identity. Multi-process: one
+    ``process_allgather`` of the stacked scalars (every process must
+    call this the same number of times — it is a collective).
+    """
+    if jax.process_count() == 1:
+        return tuple(float(p) for p in partials)
+    from jax.experimental import multihost_utils
+
+    stacked = np.asarray([float(p) for p in partials], np.float64)
+    gathered = multihost_utils.process_allgather(stacked)
+    return tuple(float(v) for v in np.sum(gathered, axis=0))
+
+
+def metrics_from_sums(sse: float, sst: float, n_el: float) -> dict:
+    """MSE and rel-L2 from (globally reduced) squared-error/target sums."""
+    return {
+        "mse": sse / max(n_el, 1.0),
+        "rel_l2": float(np.sqrt(sse / max(sst, 1e-300))),
+    }

@@ -145,6 +145,85 @@ def test_resume_prefers_full_state_over_final_marker(tmp_path):
     assert int(r2.step) == FINAL_MARKER_OFFSET + 8
 
 
+def test_fit_resident_trains_and_matches_objective():
+    """Device-resident grouped training (data staged once, point batches
+    sampled on device): loss must converge like fit's, both without and
+    with a mesh (dataset sharded over the group axis)."""
+    cfg_s = {"input_dim": 1, "output_dim": 1, "units": 16, "nlayers": 1,
+             "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+             "connectivity": "full", "weight_init_factor": 0.1}
+    cfg_p = {"input_dim": 1, "latent_dim": 2, "units": 16, "nlayers": 1,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0}
+    rng = np.random.default_rng(0)
+    G, P = 8, 128
+    t = np.linspace(0, 1, G, dtype=np.float32)[:, None]
+    x = rng.uniform(-1, 1, (G, P, 1)).astype(np.float32)
+    u = np.sin(2 * np.pi * (x[..., 0] - t)).astype(np.float32)[..., None]
+
+    for mesh in (None, make_mesh()):
+        model = nif_tpu.NIFMultiScale(cfg_s, cfg_p)
+        tr = GroupedTrainer(model, optax.adam(5e-3), mesh=mesh, seed=0)
+        state = tr.init(jax.random.key(0))
+        loss0 = tr.evaluate(state, t, x, u)
+        state = tr.fit_resident(state, t, x, u, epochs=40, group_batch=4,
+                                point_batch=64, seed=1)
+        loss1 = tr.evaluate(state, t, x, u)
+        assert loss1 < loss0 * 0.5, (mesh, loss0, loss1)
+        # mesh rounds group_batch 4 -> 8 (one step/epoch); mesh-less keeps 2
+        assert int(state.step) == (40 if mesh is not None else 80)
+
+    # weighted variant: per-point weights ride the device-side gather
+    model = nif_tpu.NIFMultiScale(cfg_s, cfg_p)
+    tr = GroupedTrainer(model, optax.adam(5e-3), seed=0)
+    state = tr.init(jax.random.key(0))
+    w = rng.uniform(0.5, 1.5, (G, P)).astype(np.float32)
+    state = tr.fit_resident(state, t, x, u, sample_weight=w, epochs=5,
+                            point_batch=64, seed=2)
+    assert np.isfinite(tr.history["loss"][-1])
+
+
+def test_fast_path_observability(caplog):
+    """An awkward P forfeits the fused kernel; the fallback must be
+    loudly observable (round-2 review: it was silent and ~6-8x slower)."""
+    import logging
+
+    cfg_s = {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
+             "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+             "connectivity": "full", "weight_init_factor": 0.1}
+    cfg_p = {"input_dim": 1, "latent_dim": 4, "units": 16, "nlayers": 1,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0}
+    model = nif_tpu.NIFMultiScale(cfg_s, cfg_p)
+
+    # config-level introspection: divisibility reason wins over backend
+    info = model.fast_path_info(1001)
+    assert info["path"] == "xla" and "point tile" in info["reason"]
+    # a clean P on CPU reports the backend as the reason
+    info_ok = model.fast_path_info(1024)
+    assert info_ok["path"] == "xla" and "not on TPU" in info_ok["reason"]
+
+    # trainer: the warning fires once and history records the path
+    G, P = 4, 129  # P=129 divides no tile
+    rng = np.random.default_rng(0)
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 2)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    trainer = GroupedTrainer(model, optax.adam(1e-3))
+    state = trainer.init(jax.random.key(0))
+    with caplog.at_level(logging.WARNING, logger="nif_tpu"):
+        state = trainer.fit(state, t, x, u, epochs=2, group_batch=4,
+                            point_batch=129)
+    warns = [r for r in caplog.records if "FALLING BACK" in r.message]
+    assert len(warns) == 1  # once, not per step
+    assert trainer.history["path"] == "xla"
+    assert "point tile" in trainer.history["path_reason"]
+
+    # NIF-linear override reports its own kernel's gate
+    lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        dict(cfg_s, connectivity="last_layer"), cfg_p
+    )
+    assert "point tile" in lin.fast_path_info(77)["reason"]
+
+
 def test_fresh_init_when_no_checkpoint(tmp_path):
     model = nif_tpu.NIF(CFG_S, CFG_P)
     trainer = Trainer(model, optax.adam(1e-3))
