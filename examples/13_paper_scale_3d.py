@@ -68,7 +68,7 @@ def main(G=None, P=None, epochs=None, group_batch=None, point_batch=None,
     base = dict(G=8, P=4096, epochs=3, group_batch=4, point_batch=2048,
                 units=32, latent=16)
     if paper:  # 64 x 262144 = 16.7M points, flagship width
-        base.update(G=64, P=262_144, epochs=150, group_batch=8,
+        base.update(G=64, P=262_144, epochs=2000, group_batch=8,
                     point_batch=32_768, units=128, latent=128)
     G = base["G"] if G is None else G
     P = base["P"] if P is None else P
@@ -107,19 +107,34 @@ def main(G=None, P=None, epochs=None, group_batch=None, point_batch=None,
     )
     state = trainer.init(jax.random.key(seed))
 
-    ds = GroupedDataset(snap_dir)
-    n_pts = 0
+    # Device-resident when the training set fits comfortably in HBM
+    # (~250 MB at paper scale): data is staged ONCE and point batches are
+    # subsampled on device — per-step host->device transfer would
+    # otherwise dominate the ~ms step. Larger-than-HBM datasets stream
+    # group batches from the GroupedDataset shards instead.
+    resident = (x[:n_train].nbytes + u[:n_train].nbytes) < 2 << 30
     t0 = time.perf_counter()
-    for epoch, bt, bx, bu, _ in ds.iter_batches(
-        group_batch=group_batch, point_batch=point_batch, epochs=epochs,
-        seed=seed,
-    ):
-        state, loss = trainer.step(state, bt, bx, bu)
-        n_pts += bt.shape[0] * point_batch
-    loss = float(loss)
+    if resident:
+        state = trainer.fit_resident(
+            state, t[:n_train], x[:n_train], u[:n_train], epochs=epochs,
+            group_batch=group_batch, point_batch=point_batch, seed=seed,
+        )
+        n_pts = int(state.step) * group_batch * point_batch
+        loss = trainer.history["loss"][-1]
+    else:
+        ds = GroupedDataset(snap_dir)
+        n_pts = 0
+        for epoch, bt, bx, bu, _ in ds.iter_batches(
+            group_batch=group_batch, point_batch=point_batch, epochs=epochs,
+            seed=seed,
+        ):
+            state, loss = trainer.step(state, bt, bx, bu)
+            n_pts += bt.shape[0] * point_batch
+        loss = float(loss)
     dt = time.perf_counter() - t0
+    mode = "device-resident" if resident else "incl. streaming"
     print(f"trained {n_pts / 1e6:.1f}M point-visits in {dt:.1f}s "
-          f"({n_pts / dt / 1e6:.0f}M pts/s incl. streaming), "
+          f"({n_pts / dt / 1e6:.0f}M pts/s {mode}), "
           f"final step loss {loss:.3e}")
 
     # held-out snapshots: reconstruct and score

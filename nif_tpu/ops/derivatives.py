@@ -24,6 +24,9 @@ __all__ = [
     "output_jacobian_hessian",
     "jacobian_regularization",
     "sobolev_loss",
+    "output_and_jacobian_grouped",
+    "output_jacobian_hessian_grouped",
+    "sobolev_loss_grouped",
 ]
 
 Index = Union[int, Sequence[int], None]
@@ -84,6 +87,145 @@ def output_jacobian_hessian(
     yi = _as_index_array(y_index, jac.shape[-2])
     xi = _as_index_array(x_index, jac.shape[-1])
     return y, jac[:, yi][..., xi], hess[:, yi][:, :, xi][..., xi]
+
+
+def _grouped_point_fn(model, params, wb_g):
+    """Single-point ShapeNet closure given one group's generated weights.
+
+    NIF-linear's ``x_to_u_given_w`` additionally needs the trainable phi
+    trunk (``params``); detect that from its signature once.
+    """
+    import inspect
+
+    needs_params = "params" in inspect.signature(
+        model.x_to_u_given_w
+    ).parameters
+    if needs_params:
+        return lambda r: model.x_to_u_given_w(
+            r[None], wb_g[None], params=params
+        )[0]
+    return lambda r: model.x_to_u_given_w(r[None], wb_g[None])[0]
+
+
+def output_and_jacobian_grouped(
+    model,
+    params,
+    t: jnp.ndarray,
+    x: jnp.ndarray,
+    y_index: Index = None,
+    x_index: Index = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Grouped (y, dy/dx): ParameterNet runs ONCE per group.
+
+    The point-wise ``output_and_jacobian`` closes over the full ``apply``,
+    so every coordinate re-runs the entire hypernetwork under ``jacfwd`` —
+    orders of magnitude off at the million-point scale the rest of the
+    framework targets (round-2 review item 4). Here the weight vector is
+    generated once per (t, mu) group and forward-mode differentiates only
+    the ShapeNet chain w.r.t. x (reference derivative semantics:
+    nif/layers/gradient.py:207-231, per-point d u / d x).
+
+    Args:
+      t: ``[G, pi]`` parameters; x: ``[G, P, si]`` coordinates.
+
+    Returns:
+      ``y [G, P, so]`` and ``jac [G, P, |y_index|, |x_index|]``.
+    """
+    wb = model.p_to_w(params, t)  # [G, po] — hypernet runs once per group
+
+    def single(wb_g, row):
+        f = _grouped_point_fn(model, params, wb_g)
+        return f(row), jax.jacfwd(f)(row)
+
+    y, jac = jax.vmap(
+        jax.vmap(single, in_axes=(None, 0)), in_axes=(0, 0)
+    )(wb, x)
+    yi = _as_index_array(y_index, jac.shape[-2])
+    xi = _as_index_array(x_index, jac.shape[-1])
+    return y, jac[:, :, yi][..., xi]
+
+
+def output_jacobian_hessian_grouped(
+    model,
+    params,
+    t: jnp.ndarray,
+    x: jnp.ndarray,
+    y_index: Index = None,
+    x_index: Index = None,
+):
+    """Grouped (y, dy/dx, d2y/dx2) — the ``HessianLayer`` equivalent with
+    the ParameterNet evaluated once per group."""
+    wb = model.p_to_w(params, t)
+
+    def single(wb_g, row):
+        f = _grouped_point_fn(model, params, wb_g)
+        return f(row), jax.jacfwd(f)(row), jax.jacfwd(jax.jacfwd(f))(row)
+
+    y, jac, hess = jax.vmap(
+        jax.vmap(single, in_axes=(None, 0)), in_axes=(0, 0)
+    )(wb, x)
+    yi = _as_index_array(y_index, jac.shape[-2])
+    xi = _as_index_array(x_index, jac.shape[-1])
+    return (y, jac[:, :, yi][..., xi],
+            hess[:, :, yi][:, :, :, xi][..., xi])
+
+
+def sobolev_loss_grouped(
+    model,
+    params,
+    t: jnp.ndarray,
+    x: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_jac: Optional[jnp.ndarray] = None,
+    target_hess: Optional[jnp.ndarray] = None,
+    w_value: float = 1.0,
+    w_jac: float = 1.0,
+    w_hess: float = 1.0,
+    y_index: Index = None,
+    x_index: Index = None,
+):
+    """Sobolev training loss on the grouped layout (tutorial 8 semantics,
+    scalable to million-point groups).
+
+    targets ``[G, P, so]`` (or y_index-selected columns); target_jac
+    ``[G, P, |yi|, |xi|]``; target_hess adds the second-order term.
+    Returns ``(total, terms_dict)`` like :func:`sobolev_loss`.
+    """
+    if target_hess is not None:
+        y, jac, hess = output_jacobian_hessian_grouped(
+            model, params, t, x, y_index, x_index
+        )
+        terms = {"hessian_mse": jnp.mean(jnp.square(hess - target_hess))}
+    else:
+        y, jac = output_and_jacobian_grouped(
+            model, params, t, x, y_index, x_index
+        )
+        terms = {}
+    tshape = jnp.shape(targets)
+    if tshape == y.shape:
+        y_val = y
+    elif y_index is not None:
+        y_val = y[..., _as_index_array(y_index, y.shape[-1])]
+        if y_val.shape != tshape:
+            raise ValueError(
+                f"sobolev_loss_grouped: value targets shape {tshape} "
+                f"matches neither the full output {y.shape} nor the "
+                f"y_index-selected output {y_val.shape}"
+            )
+    else:
+        raise ValueError(
+            f"sobolev_loss_grouped: value targets shape {tshape} does not "
+            f"match the output shape {y.shape}"
+        )
+    terms["value_mse"] = jnp.mean(jnp.square(y_val - targets))
+    if target_jac is not None:
+        terms["jacobian_mse"] = jnp.mean(jnp.square(jac - target_jac))
+    total = w_value * terms["value_mse"]
+    if "jacobian_mse" in terms:
+        total = total + w_jac * terms["jacobian_mse"]
+    if "hessian_mse" in terms:
+        total = total + w_hess * terms["hessian_mse"]
+    return total, terms
 
 
 def jacobian_regularization(

@@ -125,3 +125,112 @@ def test_sobolev_loss_rejects_silent_broadcast():
     total2, terms2 = sobolev_loss(fn, x, full, target_jac=2 * x[..., None],
                                   y_index=0)
     assert float(terms2["value_mse"]) < 1e-12
+
+
+def _multiscale_model():
+    import nif_tpu
+
+    cfg_s = {"input_dim": 2, "output_dim": 2, "units": 8, "nlayers": 1,
+             "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+             "connectivity": "full", "weight_init_factor": 0.1}
+    cfg_p = {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0}
+    return nif_tpu.NIFMultiScale(cfg_s, cfg_p)
+
+
+def test_grouped_jacobian_matches_pointwise():
+    """output_and_jacobian_grouped (pnet once per group) must equal the
+    per-point path that re-runs the full apply under jacfwd
+    (VERDICT round-2 item 4)."""
+    from nif_tpu.ops.derivatives import output_and_jacobian_grouped
+
+    model = _multiscale_model()
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(3)
+    G, P = 3, 5
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 2)).astype(np.float32)
+
+    y_g, jac_g = output_and_jacobian_grouped(model, params, t, x)
+    assert y_g.shape == (G, P, 2) and jac_g.shape == (G, P, 2, 2)
+
+    # per-point reference: rows [t, x] through the full apply
+    rows = np.concatenate(
+        [np.repeat(t, P, axis=0), x.reshape(G * P, 2)], axis=1
+    )
+    y_p, jac_p = output_and_jacobian(
+        lambda inp: model.apply(params, inp), jnp.asarray(rows)
+    )
+    # keep only the d/dx columns (inputs are [t, x0, x1])
+    np.testing.assert_allclose(
+        np.asarray(y_g).reshape(G * P, 2), np.asarray(y_p), rtol=1e-5,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jac_g).reshape(G * P, 2, 2),
+        np.asarray(jac_p)[:, :, 1:], rtol=1e-4, atol=1e-5,
+    )
+
+    # index selection mirrors the point-wise API
+    _, jac_sel = output_and_jacobian_grouped(
+        model, params, t, x, y_index=[1], x_index=[0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(jac_sel), np.asarray(jac_g)[:, :, 1:2, 0:1], rtol=1e-6
+    )
+
+
+def test_grouped_hessian_and_sobolev():
+    from nif_tpu.ops.derivatives import (
+        output_and_jacobian_grouped,
+        output_jacobian_hessian_grouped,
+        sobolev_loss_grouped,
+    )
+
+    model = _multiscale_model()
+    params = model.init(jax.random.key(1))
+    rng = np.random.default_rng(4)
+    G, P = 2, 4
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 2)).astype(np.float32)
+
+    y, jac, hess = output_jacobian_hessian_grouped(model, params, t, x)
+    assert hess.shape == (G, P, 2, 2, 2)
+    # hessian symmetry in the two x columns
+    np.testing.assert_allclose(
+        np.asarray(hess), np.transpose(np.asarray(hess), (0, 1, 2, 4, 3)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    y0, jac0 = output_and_jacobian_grouped(model, params, t, x)
+    total, terms = sobolev_loss_grouped(
+        model, params, t, x, targets=np.asarray(y0),
+        target_jac=np.asarray(jac0),
+    )
+    # matching targets -> zero loss
+    assert float(total) < 1e-10
+    assert set(terms) == {"value_mse", "jacobian_mse"}
+
+    # NIF-linear variant routes through the params-carrying closure
+    import nif_tpu
+
+    lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        {"input_dim": 2, "output_dim": 1, "units": 8, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "last_layer", "weight_init_factor": 1.0},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    lp = lin.init(jax.random.key(2))
+    from nif_tpu.ops.derivatives import output_and_jacobian_grouped as oajg
+
+    y_l, jac_l = oajg(lin, lp, t, x)
+    assert y_l.shape == (G, P, 1) and jac_l.shape == (G, P, 1, 2)
+    rows = np.concatenate([np.repeat(t, P, 0), x.reshape(G * P, 2)], 1)
+    y_ref, jac_ref = output_and_jacobian(
+        lambda inp: lin.apply(lp, inp), jnp.asarray(rows)
+    )
+    np.testing.assert_allclose(
+        np.asarray(jac_l).reshape(G * P, 1, 2),
+        np.asarray(jac_ref)[:, :, 1:], rtol=1e-4, atol=1e-5,
+    )

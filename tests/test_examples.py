@@ -95,6 +95,14 @@ def test_tutorial_5_grouped_streaming(tmp_path):
     assert np.isfinite(final)
 
 
+def test_tutorial_13_paper_scale_smoke(tmp_path):
+    """Example 13 (paper-scale 3-D) smoke run on CPU tiny defaults —
+    VERDICT round-2 item 8: it was the only untested example."""
+    mod = _imp("13_paper_scale_3d")
+    err = mod.main(workdir=str(tmp_path), epochs=3)
+    assert np.isfinite(err)
+
+
 def test_tutorial_12_multihost():
     sys.path.insert(0, os.path.abspath(os.path.join(EXAMPLES, "..")))
     mod = _imp("12_multihost")
