@@ -122,12 +122,15 @@ def main(G=None, P=None, epochs=None, group_batch=None, point_batch=None,
         n_pts = int(state.step) * group_batch * point_batch
         loss = trainer.history["loss"][-1]
     else:
+        from nif_tpu.data import prefetch_to_device
+
         ds = GroupedDataset(snap_dir)
         n_pts = 0
-        for epoch, bt, bx, bu, _ in ds.iter_batches(
+        # double-buffer: next batch transfers while the current step runs
+        for epoch, bt, bx, bu, _ in prefetch_to_device(ds.iter_batches(
             group_batch=group_batch, point_batch=point_batch, epochs=epochs,
             seed=seed,
-        ):
+        )):
             state, loss = trainer.step(state, bt, bx, bu)
             n_pts += bt.shape[0] * point_batch
         loss = float(loss)

@@ -104,11 +104,6 @@ def _train_streaming(args):
     from nif_tpu.optimizers import get_optimizer
     from nif_tpu.training import CheckpointCallback, Trainer
 
-    if args.lbfgs:
-        raise SystemExit(
-            "--lbfgs needs the full dataset in memory; pass an .npz "
-            "instead of a shard directory"
-        )
     model, cfg = _build_model(args)
     ds = _open_sharded(args, cfg)
     from nif_tpu.parallel import make_mesh
@@ -163,6 +158,27 @@ def _train_streaming(args):
         # a second manager touches the directory
         ckpt_cb.on_epoch_end(trainer, state, cur_epoch, {})
         ckpt_cb.on_train_end(trainer, state)
+
+    if args.lbfgs:
+        # full-batch fine-tune over the WHOLE shard directory: the chunked
+        # objective accumulates value/grad in fixed-size pieces, so only
+        # one chunk's activations are ever live (the dataset must still
+        # fit device memory as flat rows; use a mesh to split it further)
+        from nif_tpu.optimizers import LBFGS
+
+        parts = [np.load(f) for f in ds.files]
+        full = np.concatenate(parts, axis=0)
+        nf, nt = ds.n_feature, ds.n_target
+        weight = full[:, -1] if ds.area_weight else None
+        tuner = LBFGS(model, inputs=full[:, :nf],
+                      targets=full[:, nf:nf + nt], sample_weight=weight,
+                      chunk_size=args.batch_size, mesh=mesh)
+        params = tuner.minimize(state.params, rounds=1, max_iter=args.lbfgs)
+        state = type(state)(params, state.opt_state, state.step)
+        last_loss = float(tuner.history["loss"][-1]) if len(
+            tuner.history["loss"]) else last_loss
+        print(f"after L-BFGS ({args.lbfgs} iters, chunked "
+              f"{args.batch_size}): loss {last_loss:.6e}")
     print(f"final loss: {last_loss:.6e}")
     if args.ckpt_dir:
         from nif_tpu.training import Checkpointer
@@ -220,43 +236,56 @@ def _train_grouped(args):
         raise SystemExit("the grouped dataset is empty")
 
     use_reg = trainer.use_reg and model.has_regularization
-    checked = False
     cur_epoch, last_loss = -1, None
-    for epoch, bt, bx, bu, bw in ds.iter_batches(
-        group_batch=group_batch, point_batch=point_batch,
-        epochs=args.epochs, seed=args.seed,
+
+    def host_batches():
+        """Dim-check + exact tail padding on host, ready for transfer."""
+        checked = False
+        for epoch, bt, bx, bu, bw in ds.iter_batches(
+            group_batch=group_batch, point_batch=point_batch,
+            epochs=args.epochs, seed=args.seed,
+        ):
+            if not checked:
+                pi = cfg.parameter_net.input_dim
+                si, so = cfg.shape_net.input_dim, cfg.shape_net.output_dim
+                if (bt.shape[1], bx.shape[2], bu.shape[2]) != (pi, si, so):
+                    raise SystemExit(
+                        f"grouped dataset dims t/x/u = {bt.shape[1]}/"
+                        f"{bx.shape[2]}/{bu.shape[2]} do not match the "
+                        f"config ({pi}/{si}/{so})"
+                    )
+                checked = True
+            b = bt.shape[0]
+            rw = None
+            if b < group_batch or bw is not None:
+                # exact zero-weight padding: tail batches keep one
+                # executable shape and train every group (trainer.pad_batch)
+                (bt, bx, bu), w_rows = pad_batch((bt, bx, bu), None, b,
+                                                 group_batch)
+                pb = bx.shape[1]
+                bw = (np.broadcast_to(w_rows[:, None], (group_batch, pb))
+                      if bw is None
+                      else np.concatenate(
+                          [bw, np.zeros((group_batch - b, pb), bw.dtype)]
+                      ) * w_rows[:, None])
+                bw = np.ascontiguousarray(bw, np.float32)
+                if use_reg:
+                    rw = reg_row_weights(b, group_batch)
+            yield epoch, bt, bx, bu, bw, rw
+
+    # double-buffer: the NEXT batch transfers to device while the current
+    # step runs — a streaming loop that hands trainer.step host arrays
+    # serializes copy and compute instead
+    from nif_tpu.data import prefetch_to_device
+
+    for epoch, bt, bx, bu, bw, rw in prefetch_to_device(
+        host_batches(), mesh=mesh
     ):
-        if not checked:
-            pi = cfg.parameter_net.input_dim
-            si, so = cfg.shape_net.input_dim, cfg.shape_net.output_dim
-            if (bt.shape[1], bx.shape[2], bu.shape[2]) != (pi, si, so):
-                raise SystemExit(
-                    f"grouped dataset dims t/x/u = {bt.shape[1]}/"
-                    f"{bx.shape[2]}/{bu.shape[2]} do not match the config "
-                    f"({pi}/{si}/{so})"
-                )
-            checked = True
         if epoch != cur_epoch and cur_epoch >= 0:
             print(f"epoch {cur_epoch:5d}  loss {float(last_loss):.6e}")
             if ckpt_cb is not None:
                 ckpt_cb.on_epoch_end(trainer, state, cur_epoch, {})
         cur_epoch = epoch
-        b = bt.shape[0]
-        rw = None
-        if b < group_batch or bw is not None:
-            # exact zero-weight padding: tail batches keep one executable
-            # shape and train every group (see trainer.pad_batch)
-            (bt, bx, bu), w_rows = pad_batch((bt, bx, bu), None, b,
-                                             group_batch)
-            pb = bx.shape[1]
-            bw = (np.broadcast_to(w_rows[:, None], (group_batch, pb))
-                  if bw is None
-                  else np.concatenate(
-                      [bw, np.zeros((group_batch - b, pb), bw.dtype)]
-                  ) * w_rows[:, None])
-            bw = np.ascontiguousarray(bw, np.float32)
-            if use_reg:
-                rw = reg_row_weights(b, group_batch)
         state, loss = trainer.step(state, bt, bx, bu, bw, rw)
         last_loss = loss
     last_loss = float(last_loss)

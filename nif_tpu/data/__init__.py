@@ -1,4 +1,10 @@
 from .point_wise_data import PointWiseData
+from .prefetch import prefetch_to_device
 from .sharded_dataset import GroupedDataset, ShardedDataset
 
-__all__ = ["PointWiseData", "ShardedDataset", "GroupedDataset"]
+__all__ = [
+    "PointWiseData",
+    "ShardedDataset",
+    "GroupedDataset",
+    "prefetch_to_device",
+]

@@ -28,6 +28,8 @@ __all__ = [
     "batch_sharding",
     "batch_axis_size",
     "replicated_sharding",
+    "model_axis_specs",
+    "put_params_model_parallel",
     "shard_batch",
     "pad_to_multiple",
     "init_distributed",
@@ -75,7 +77,12 @@ def put_batch(arr, mesh: Mesh, axis=None):
     """
     sh = batch_sharding(mesh, axis)
     if jax.process_count() == 1:
+        # device_put is a no-op on an already-placed array (and a
+        # device-side reshard otherwise) — prefetched batches must not
+        # round-trip through the host
         return jax.device_put(arr, sh)
+    if isinstance(arr, jax.Array) and arr.sharding == sh:
+        return arr
     return jax.make_array_from_process_local_data(sh, np.asarray(arr))
 
 
@@ -88,7 +95,7 @@ def put_batch_tuple(arrays, mesh: Optional[Mesh]):
 
         return tuple(None if a is None else jnp.asarray(a) for a in arrays)
     return tuple(
-        None if a is None else put_batch(np.asarray(a), mesh) for a in arrays
+        None if a is None else put_batch(a, mesh) for a in arrays
     )
 
 
@@ -196,6 +203,52 @@ def batch_axis_size(mesh: Mesh) -> int:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def model_axis_specs(params, mesh: Mesh, axis: str = "model"):
+    """PartitionSpec pytree for tensor-parallel parameter placement.
+
+    The hypernetwork head kernel (``pnet.last.w``, shape
+    ``[latent_dim, po_dim]``) is the one parameter that can get huge —
+    po_dim scales with the ShapeNet's units^2 (SURVEY.md section 2.6). It
+    splits row-parallel: the *contracting* latent dim shards over
+    ``axis`` and XLA inserts the partial-sum reduce after the head
+    matmul (po_dim is usually odd, so the output column cannot divide
+    evenly). Everything else replicates. Leaves whose contracting dim
+    does not divide the axis stay replicated rather than erroring.
+    """
+    n_model = mesh.shape.get(axis, 1)
+
+    def spec_for(path, leaf):
+        keys = tuple(getattr(k, "key", getattr(k, "idx", None)) for k in path)
+        if (
+            n_model > 1
+            and "last" in keys
+            and keys[-1] == "w"
+            and getattr(leaf, "ndim", 0) == 2
+            and leaf.shape[0] % n_model == 0
+        ):
+            return P(axis, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def put_params_model_parallel(params, mesh: Mesh, axis: str = "model"):
+    """Place a params pytree with the head kernel sharded over ``axis``
+    (see :func:`model_axis_specs`); everything else replicated."""
+    specs = model_axis_specs(params, mesh, axis)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+            params, specs,
+        )
+    return jax.tree_util.tree_map(
+        lambda leaf, spec: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(leaf)
+        ),
+        params, specs,
+    )
 
 
 def pad_to_multiple(arr: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:

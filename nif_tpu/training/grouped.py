@@ -41,14 +41,30 @@ class GroupedTrainer:
 
     def __init__(self, model, optimizer: optax.GradientTransformation,
                  mesh=None, use_reg: bool = True, seed: int = 0,
-                 fused: Optional[bool] = None):
+                 fused: Optional[bool] = None,
+                 shard_model_axis: bool = False):
         """``fused=None`` (auto) uses the single-pass fused train kernel on
         TPU via ``model.mse_value_and_grad`` — forward + loss + backward in
-        one pallas_call."""
+        one pallas_call.
+
+        ``shard_model_axis=True`` (mesh with a ``'model'`` axis) shards the
+        hypernetwork head kernel + its moments row-parallel over 'model'
+        (tensor parallelism for huge po_dim). The shard_map around the
+        fused kernel then goes manual over the batch axes ONLY, leaving
+        the model axis to GSPMD — the head matmul's partial-sum reduce is
+        inserted automatically, and the kernel sees the full weight
+        vector per data shard."""
         self.model = model
         self.tx = optimizer
         self.mesh = mesh
         self.use_reg = use_reg
+        self.shard_model_axis = shard_model_axis
+        if shard_model_axis and (mesh is None or "model" not in mesh.axis_names):
+            raise ValueError(
+                "shard_model_axis=True needs a mesh with a 'model' axis — "
+                "e.g. make_mesh(axis_names=('data', 'model'), "
+                "mesh_shape=(n_data, n_model))"
+            )
         self._rng = np.random.default_rng(seed)
         self.history: Dict[str, List[float]] = {"epoch": [], "loss": []}
 
@@ -98,11 +114,17 @@ class GroupedTrainer:
             in_specs = (P(), batch_spec, batch_spec, batch_spec) + tuple(
                 batch_spec for _ in present
             )
+            kwargs = {}
+            if set(axes) != set(mesh.axis_names):
+                # go manual over the batch axes ONLY; non-batch axes
+                # (e.g. a tensor-parallel 'model' axis) stay under GSPMD,
+                # which inserts the head matmul's partial-sum reduce
+                kwargs["axis_names"] = set(axes)
             return jax.shard_map(
                 fn, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
                 # pallas_call out_shapes carry no varying-mesh-axis
                 # info; the pmeans above make the outputs replicated.
-                check_vma=False,
+                check_vma=False, **kwargs,
             )(params, t, x, u, *present)
 
         self._value_and_grad = value_and_grad
@@ -131,11 +153,11 @@ class GroupedTrainer:
 
     def step(self, state: TrainState, t, x, u, w=None, rw=None):
         """One jitted training step on a (t, x, u[, w]) group batch —
-        for custom loops (e.g. streaming from GroupedDataset)."""
-        x = np.asarray(x)
+        for custom loops (e.g. streaming from GroupedDataset). Batches
+        already placed on device (``data.prefetch_to_device``) pass
+        through without a host round-trip."""
         self._record_path(x.shape[1])
-        return self._step(state, *self._put(np.asarray(t), x,
-                                            np.asarray(u), w, rw))
+        return self._step(state, *self._put(t, x, u, w, rw))
 
     def init(self, key) -> TrainState:
         params = self.model.init(key)
@@ -145,8 +167,32 @@ class GroupedTrainer:
             # shardings from here, and a restore re-places committed
             # host arrays onto them (single-device opt_state next to
             # replicated params would poison the jitted step)
-            params = put_replicated(params, self.mesh)
-            opt_state = put_replicated(opt_state, self.mesh)
+            if self.shard_model_axis:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.mesh import put_params_model_parallel
+
+                params = put_params_model_parallel(params, self.mesh)
+                try:
+                    head = tuple(params["pnet"]["last"]["w"].shape)
+                except (KeyError, TypeError):
+                    head = None
+                n_model = self.mesh.shape.get("model", 1)
+
+                def place(leaf):
+                    spec = P()
+                    if (head is not None and getattr(leaf, "ndim", 0) == 2
+                            and tuple(leaf.shape) == head
+                            and leaf.shape[0] % n_model == 0):
+                        spec = P("model", None)  # moments follow the kernel
+                    return jax.device_put(
+                        leaf, NamedSharding(self.mesh, spec)
+                    )
+
+                opt_state = jax.tree_util.tree_map(place, opt_state)
+            else:
+                params = put_replicated(params, self.mesh)
+                opt_state = put_replicated(opt_state, self.mesh)
         return TrainState(params, opt_state, 0)
 
     def init_or_restore(self, key, ckpt_dir: str) -> TrainState:
@@ -415,73 +461,110 @@ class GroupedTrainer:
         td, xd, ud, wd = self._put(t, x, u, sample_weight)
         steps_per_epoch = max(G // group_batch, 1)
 
-        key_cache = ("_resident_step", group_batch, point_batch,
-                     wd is not None)
-        step = getattr(self, "_resident_cache", {}).get(key_cache)
-        if step is None:
-            @functools.partial(jax.jit, donate_argnums=(0,))
-            def step(state: TrainState, key, td, xd, ud, wd=None):
-                kg, kp = jax.random.split(key)
-                if group_batch < G:
-                    gsel = jax.random.permutation(kg, G)[:group_batch]
-                    tb = jnp.take(td, gsel, axis=0)
-                    xg = jnp.take(xd, gsel, axis=0)
-                    ug = jnp.take(ud, gsel, axis=0)
-                    wg = None if wd is None else jnp.take(wd, gsel, axis=0)
-                else:
-                    tb, xg, ug, wg = td, xd, ud, wd
-                if point_batch < P:
-                    idx = jax.random.randint(
-                        kp, (group_batch, point_batch), 0, P
-                    )
-                    xb = jnp.take_along_axis(xg, idx[..., None], axis=1)
-                    ub = jnp.take_along_axis(ug, idx[..., None], axis=1)
-                    wb = (None if wg is None
-                          else jnp.take_along_axis(wg, idx, axis=1))
-                else:
-                    xb, ub, wb = xg, ug, wg
-                loss, grads = self._value_and_grad(
-                    state.params, tb, xb, ub, wb, None
+        def step_body(state: TrainState, key, td, xd, ud, wd):
+            kg, kp = jax.random.split(key)
+            if group_batch < G:
+                gsel = jax.random.permutation(kg, G)[:group_batch]
+                tb = jnp.take(td, gsel, axis=0)
+                xg = jnp.take(xd, gsel, axis=0)
+                ug = jnp.take(ud, gsel, axis=0)
+                wg = None if wd is None else jnp.take(wd, gsel, axis=0)
+            else:
+                tb, xg, ug, wg = td, xd, ud, wd
+            if point_batch < P:
+                idx = jax.random.randint(
+                    kp, (group_batch, point_batch), 0, P
                 )
-                updates, opt_state = self.tx.update(
-                    grads, state.opt_state, state.params
-                )
-                params = optax.apply_updates(state.params, updates)
-                return TrainState(params, opt_state, state.step + 1), loss
+                xb = jnp.take_along_axis(xg, idx[..., None], axis=1)
+                ub = jnp.take_along_axis(ug, idx[..., None], axis=1)
+                wb = (None if wg is None
+                      else jnp.take_along_axis(wg, idx, axis=1))
+            else:
+                xb, ub, wb = xg, ug, wg
+            loss, grads = self._value_and_grad(
+                state.params, tb, xb, ub, wb, None
+            )
+            updates, opt_state = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
 
-            self.__dict__.setdefault("_resident_cache", {})[key_cache] = step
+        def get_chunk_fn(n_steps: int):
+            key_cache = ("_resident_chunk", group_batch, point_batch,
+                         wd is not None, n_steps)
+            fn = getattr(self, "_resident_cache", {}).get(key_cache)
+            if fn is None:
+                # Steps are scan-chained ON DEVICE: dispatching one jitted
+                # step per Python iteration pays the host/relay round-trip
+                # every step (~100 ms over the axon relay vs the ~1 ms step
+                # itself — the round-3 paper run spent 98% of wall-clock on
+                # dispatch). One dispatch now covers a whole chunk of
+                # epochs; per-step keys are folded from the root inside the
+                # scan, so the sampled batches are IDENTICAL to the
+                # step-at-a-time schedule.
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def fn(state: TrainState, root, start, td, xd, ud, wd=None):
+                    def body(c, i):
+                        return step_body(c, jax.random.fold_in(root, i),
+                                         td, xd, ud, wd)
+                    return jax.lax.scan(
+                        body, state, start + jnp.arange(n_steps)
+                    )
+
+                self.__dict__.setdefault("_resident_cache", {})[key_cache] = fn
+            return fn
+
+        # Chunk boundaries align with every host-side obligation: callbacks
+        # need end-of-epoch state (chunk = 1 epoch), validation needs state
+        # at its cadence (chunks end exactly on validation epochs), and the
+        # cap bounds compiled scan length + per-chunk loss readback.
+        chunk_cap = max(1, min(epochs, -(-4096 // steps_per_epoch)))
+        if callbacks:
+            chunk_cap = 1
 
         base = self._rng.integers(2**63) if seed is None else seed
         root = jax.random.key(base)
         for cb in callbacks:
             cb.on_train_begin(self)
         step_i = 0
-        for epoch in range(epochs):
+        epoch = 0
+        while epoch < epochs:
+            n_ep = min(chunk_cap, epochs - epoch)
+            if validation_data is not None:
+                nv = epoch + (-epoch) % validation_every
+                if nv < epoch + n_ep:
+                    n_ep = nv - epoch + 1
             t0 = time.perf_counter()
-            losses = []
-            for _ in range(steps_per_epoch):
-                k = jax.random.fold_in(root, step_i)
-                step_i += 1
-                args = (state, k, td, xd, ud) + (
-                    (wd,) if wd is not None else ()
-                )
-                state, loss = step(*args)
-                losses.append(loss)
-            epoch_loss = float(np.mean(jax.device_get(losses)))
-            self.history["epoch"].append(epoch)
-            self.history["loss"].append(epoch_loss)
-            logs = {"loss": epoch_loss, "epoch": epoch,
-                    "time": time.perf_counter() - t0}
-            if validation_data is not None and epoch % validation_every == 0:
-                vt, vx, vu = validation_data
-                logs["val_loss"] = self.evaluate(state, vt, vx, vu)
-                self.history.setdefault("val_loss", []).append(logs["val_loss"])
-                self.history.setdefault("val_epoch", []).append(epoch)
-            if verbose_every and epoch % verbose_every == 0:
-                print(f"epoch {epoch:5d}  loss {epoch_loss:.6e}  "
-                      f"({logs['time']:.3f}s)")
-            for cb in callbacks:
-                cb.on_epoch_end(self, state, epoch, logs)
+            run = get_chunk_fn(n_ep * steps_per_epoch)
+            args = (state, root, step_i, td, xd, ud) + (
+                (wd,) if wd is not None else ()
+            )
+            state, losses = run(*args)
+            losses = np.asarray(
+                jax.device_get(losses), np.float64
+            ).reshape(n_ep, steps_per_epoch)
+            dt = (time.perf_counter() - t0) / n_ep
+            step_i += n_ep * steps_per_epoch
+            for j in range(n_ep):
+                e = epoch + j
+                epoch_loss = float(losses[j].mean())
+                self.history["epoch"].append(e)
+                self.history["loss"].append(epoch_loss)
+                logs = {"loss": epoch_loss, "epoch": e, "time": dt}
+                if (validation_data is not None and j == n_ep - 1
+                        and e % validation_every == 0):
+                    vt, vx, vu = validation_data
+                    logs["val_loss"] = self.evaluate(state, vt, vx, vu)
+                    self.history.setdefault("val_loss", []).append(
+                        logs["val_loss"])
+                    self.history.setdefault("val_epoch", []).append(e)
+                if verbose_every and e % verbose_every == 0:
+                    print(f"epoch {e:5d}  loss {epoch_loss:.6e}  "
+                          f"({dt:.3f}s)")
+                for cb in callbacks:
+                    cb.on_epoch_end(self, state, e, logs)
+            epoch += n_ep
         for cb in callbacks:
             cb.on_train_end(self, state)
         return state

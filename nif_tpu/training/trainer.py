@@ -193,42 +193,85 @@ class Trainer:
         use_reg: bool = True,
         seed: int = 0,
         shard_opt_state: bool = False,
+        shard_model_axis: bool = False,
     ):
         """``shard_opt_state=True`` (requires a mesh) stripes large optimizer
         moments across the data axis, ZeRO-1 style: the Adam m/v for the
         hypernetwork head scale as latent_dim x po_dim and dominate HBM for
         big ShapeNets; sharding them cuts that by the data-parallel degree
         while XLA keeps the update local and re-gathers nothing (params
-        remain replicated; only the elementwise moment update is sharded)."""
+        remain replicated; only the elementwise moment update is sharded).
+
+        ``shard_model_axis=True`` (requires a mesh with a ``'model'`` axis)
+        adds tensor parallelism: the hypernetwork head kernel
+        ``pnet.last.w`` — the one parameter that scales with the ShapeNet's
+        units^2 (SURVEY.md section 2.6) — and its optimizer moments shard
+        row-parallel over the model axis; XLA inserts the partial-sum
+        reduce after the head matmul. Composes with data parallelism and
+        ZeRO-1."""
         self.model = model
         self.tx = optimizer
         self.mesh = mesh
         self.use_reg = use_reg
         self.shard_opt_state = shard_opt_state
+        self.shard_model_axis = shard_model_axis
+        if shard_model_axis and (mesh is None or "model" not in mesh.axis_names):
+            raise ValueError(
+                "shard_model_axis=True needs a mesh with a 'model' axis — "
+                "e.g. make_mesh(axis_names=('data', 'model'), "
+                "mesh_shape=(n_data, n_model))"
+            )
         self._rng = np.random.default_rng(seed)
         self._step = make_train_step(model, optimizer, use_reg)
         self.history: Dict[str, List[float]] = {"epoch": [], "loss": []}
 
-    def _maybe_shard_opt_state(self, opt_state):
+    def _place_params(self, params):
+        if self.mesh is None:
+            return params
+        if self.shard_model_axis:
+            from ..parallel.mesh import put_params_model_parallel
+
+            return put_params_model_parallel(params, self.mesh)
+        return put_replicated(params, self.mesh)
+
+    def _head_kernel_shape(self, params):
+        """Shape of pnet.last.w — optimizer moments matching it inherit the
+        tensor-parallel sharding (Adam m/v are elementwise in the param)."""
+        try:
+            return tuple(params["pnet"]["last"]["w"].shape)
+        except (KeyError, TypeError):
+            return None
+
+    def _maybe_shard_opt_state(self, opt_state, head_shape=None):
         if self.mesh is None:
             return opt_state
-        if not self.shard_opt_state:
-            # explicit replication (not just uncommitted default placement)
-            # so checkpoint-restore templates carry mesh shardings — see
-            # restore_or_init_state._match_placement
-            return put_replicated(opt_state, self.mesh)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_data = self.mesh.shape.get("data", 1)
+        n_model = self.mesh.shape.get("model", 1)
 
         def spec_for(leaf):
             if (
-                hasattr(leaf, "ndim")
+                self.shard_model_axis
+                and head_shape is not None
+                and n_model > 1
+                and getattr(leaf, "ndim", 0) == 2
+                and tuple(leaf.shape) == head_shape
+                and leaf.shape[0] % n_model == 0
+            ):
+                # head moments follow the tensor-parallel kernel sharding
+                return NamedSharding(self.mesh, P("model", None))
+            if (
+                self.shard_opt_state
+                and hasattr(leaf, "ndim")
                 and leaf.ndim >= 1
                 and leaf.size >= 1 << 16
                 and leaf.shape[0] % n_data == 0
             ):
                 return NamedSharding(self.mesh, P("data"))
+            # explicit replication (not just uncommitted default placement)
+            # so checkpoint-restore templates carry mesh shardings — see
+            # restore_or_init_state._match_placement
             return NamedSharding(self.mesh, P())
 
         return jax.tree_util.tree_map(
@@ -236,10 +279,10 @@ class Trainer:
         )
 
     def init(self, key) -> TrainState:
-        params = self.model.init(key)
-        if self.mesh is not None:
-            params = put_replicated(params, self.mesh)
-        opt_state = self._maybe_shard_opt_state(self.tx.init(params))
+        params = self._place_params(self.model.init(key))
+        opt_state = self._maybe_shard_opt_state(
+            self.tx.init(params), self._head_kernel_shape(params)
+        )
         return TrainState(params, opt_state, 0)
 
     def init_or_restore(self, key, ckpt_dir: str) -> TrainState:

@@ -119,12 +119,23 @@ def test_cli_streaming_train_eval_from_shard_dir(workdir, capsys):
     ])
     parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(mse) and parsed["mse"] == pytest.approx(mse)
-    # --lbfgs on a shard dir is a clear error, not a crash
-    with pytest.raises(SystemExit, match="lbfgs"):
-        cli_main([
-            "train", "--config", str(workdir / "config.json"),
-            "--data", shard_dir, "--epochs", "1", "--lbfgs", "5",
-        ])
+
+
+def test_cli_streaming_lbfgs_fine_tune(workdir):
+    """--lbfgs now works on a shard dir: the chunked-accumulation
+    objective fine-tunes over the WHOLE directory (VERDICT round-2
+    item 6 lifted the old in-memory restriction)."""
+    from nif_tpu.data import ShardedDataset
+
+    ds = ShardedDataset(2, 1)
+    shard_dir = str(workdir / "lbfgs_shards")
+    ds.create_from_npz(100, str(workdir / "data.npz"), "data", shard_dir)
+    loss = cli_main([
+        "train", "--config", str(workdir / "config.json"),
+        "--data", shard_dir, "--epochs", "10",
+        "--batch-size", "100", "--lbfgs", "15",
+    ])
+    assert np.isfinite(loss)
 
 
 def test_cli_streaming_zero_steps_is_loud(workdir):

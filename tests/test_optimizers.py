@@ -208,3 +208,82 @@ def test_scale_by_belief_no_dead_smax():
     assert st.s_max is None
     st2 = scale_by_belief(amsgrad=True).init(p)
     assert st2.s_max is not None
+
+
+def test_lbfgs_chunked_matches_full_batch():
+    """The chunked-accumulation objective (VERDICT round-2 item 6) is the
+    SAME function as the in-memory full-batch one: deliberately chunked
+    (with a padded tail) L-BFGS must reproduce the full-batch result."""
+    import nif_tpu
+    from nif_tpu.optimizers import LBFGS
+
+    cfg_s = {"input_dim": 1, "output_dim": 1, "units": 8, "nlayers": 1,
+             "activation": "tanh"}
+    cfg_p = {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+             "activation": "tanh",
+             "act_l2_reg": 1e-3}  # batch-mean reg term must chunk exactly
+    model = nif_tpu.NIF(cfg_s, cfg_p)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    n = 250  # chunk 64 -> 4 chunks, 6-row zero-weight pad
+    inputs = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    targets = np.sin(3 * inputs[:, :1] + inputs[:, 1:]).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, n).astype(np.float32)
+
+    full = LBFGS(model, inputs=inputs, targets=targets, sample_weight=w)
+    chunked = LBFGS(model, inputs=inputs, targets=targets, sample_weight=w,
+                    chunk_size=64)
+    # identical objective at the same point
+    f0 = float(full._objective(params))
+    c0 = float(chunked._objective(params))
+    assert c0 == pytest.approx(f0, rel=1e-6), (f0, c0)
+
+    p_full = full.minimize(params, rounds=1, max_iter=20)
+    p_chunk = chunked.minimize(params, rounds=1, max_iter=20)
+    lf = full.history["loss"]
+    lc = chunked.history["loss"]
+    # same trajectory (same math, summation order differs slightly)
+    np.testing.assert_allclose(lf[:5], lc[:5], rtol=1e-4)
+    assert lc[-1] == pytest.approx(lf[-1], rel=1e-3)
+
+
+def test_lbfgs_chunked_on_mesh():
+    """chunk rows shard over the mesh; the jitted objective psums the
+    partial sums — result equals the mesh-less chunked run."""
+    import nif_tpu
+    from nif_tpu.optimizers import LBFGS
+    from nif_tpu.parallel import make_mesh
+
+    cfg_s = {"input_dim": 1, "output_dim": 1, "units": 8, "nlayers": 1,
+             "activation": "tanh"}
+    cfg_p = {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+             "activation": "tanh"}
+    model = nif_tpu.NIF(cfg_s, cfg_p)
+    params = model.init(jax.random.key(1))
+    rng = np.random.default_rng(1)
+    inputs = rng.uniform(-1, 1, (256, 2)).astype(np.float32)
+    targets = np.sin(3 * inputs[:, :1]).astype(np.float32)
+
+    plain = LBFGS(model, inputs=inputs, targets=targets, chunk_size=64)
+    meshed = LBFGS(model, inputs=inputs, targets=targets, chunk_size=64,
+                   mesh=make_mesh())
+    p1 = plain.minimize(params, rounds=1, max_iter=10)
+    p2 = meshed.minimize(params, rounds=1, max_iter=10)
+    np.testing.assert_allclose(plain.history["loss"],
+                               meshed.history["loss"], rtol=1e-4)
+
+
+def test_lbfgs_chunked_rejects_custom_loss():
+    import nif_tpu
+    from nif_tpu.optimizers import LBFGS
+
+    model = nif_tpu.NIF(
+        {"input_dim": 1, "output_dim": 1, "units": 8, "nlayers": 1,
+         "activation": "tanh"},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "tanh"},
+    )
+    with pytest.raises(ValueError, match="chunk_size"):
+        LBFGS(model, loss_fn=lambda p, t: 0.0,
+              inputs=np.zeros((4, 2), np.float32),
+              targets=np.zeros((4, 1), np.float32), chunk_size=2)

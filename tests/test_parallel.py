@@ -135,3 +135,98 @@ def test_replicated_params_match_single_device():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-6)
+
+
+def _tp_model():
+    import nif_tpu
+
+    return nif_tpu.NIFMultiScale(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 4, "units": 16, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+
+
+def test_tensor_parallel_grouped_trainer_matches_dp():
+    """First-class TP (VERDICT round-2 item 5): GroupedTrainer on a
+    (4 data x 2 model) mesh with shard_model_axis=True shards the hypernet
+    head row-parallel and must reproduce the DP-only loss trajectory."""
+    import optax
+
+    from nif_tpu.training import GroupedTrainer
+
+    rng = np.random.default_rng(0)
+    G, Pts = 8, 64
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, Pts, 2)).astype(np.float32)
+    u = rng.standard_normal((G, Pts, 1)).astype(np.float32)
+
+    def run(mesh, **kw):
+        model = _tp_model()
+        tr = GroupedTrainer(model, optax.adam(5e-3), mesh=mesh, seed=0, **kw)
+        state = tr.init(jax.random.key(0))
+        state = tr.fit(state, t, x, u, epochs=5, group_batch=8,
+                       point_batch=64)
+        return tr, state
+
+    mesh_tp = make_mesh(axis_names=("data", "model"), mesh_shape=(4, 2))
+    tr_tp, st_tp = run(mesh_tp, shard_model_axis=True)
+    tr_dp, _ = run(make_mesh())
+    tr_none, _ = run(None)
+
+    # the head kernel and its Adam moments really are model-sharded
+    head = st_tp.params["pnet"]["last"]["w"]
+    assert head.sharding.spec and head.sharding.spec[0] == "model", (
+        head.sharding
+    )
+    specs = {str(l.sharding.spec) for l in jax.tree_util.tree_leaves(
+        st_tp.opt_state) if hasattr(l, "sharding")
+        and getattr(l, "shape", None) == head.shape}
+    assert any("model" in s for s in specs), specs
+
+    np.testing.assert_allclose(tr_tp.history["loss"],
+                               tr_dp.history["loss"], rtol=2e-4)
+    np.testing.assert_allclose(tr_tp.history["loss"],
+                               tr_none.history["loss"], rtol=2e-4)
+
+
+def test_tensor_parallel_pointwise_trainer_matches_dp():
+    """Trainer (point-wise XLA path) with shard_model_axis composes with
+    ZeRO-1 opt-state sharding and matches the mesh-less trajectory."""
+    import optax
+
+    from nif_tpu.training import Trainer
+
+    rng = np.random.default_rng(1)
+    n = 512
+    inputs = rng.standard_normal((n, 3)).astype(np.float32)
+    targets = rng.standard_normal((n, 1)).astype(np.float32)
+
+    def run(mesh, **kw):
+        model = _tp_model()
+        tr = Trainer(model, optax.adam(5e-3), mesh=mesh, seed=0, **kw)
+        state = tr.init(jax.random.key(0))
+        state = tr.fit(state, inputs, targets, epochs=4, batch_size=256)
+        return tr
+
+    mesh_tp = make_mesh(axis_names=("data", "model"), mesh_shape=(4, 2))
+    tr_tp = run(mesh_tp, shard_model_axis=True, shard_opt_state=True)
+    tr_none = run(None)
+    np.testing.assert_allclose(tr_tp.history["loss"],
+                               tr_none.history["loss"], rtol=2e-4)
+
+
+def test_shard_model_axis_requires_model_mesh():
+    import optax
+    import pytest
+
+    from nif_tpu.training import GroupedTrainer, Trainer
+
+    model = _tp_model()
+    with pytest.raises(ValueError, match="model"):
+        Trainer(model, optax.adam(1e-3), mesh=make_mesh(),
+                shard_model_axis=True)
+    with pytest.raises(ValueError, match="model"):
+        GroupedTrainer(model, optax.adam(1e-3), shard_model_axis=True)

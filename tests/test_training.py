@@ -182,6 +182,66 @@ def test_fit_resident_trains_and_matches_objective():
     assert np.isfinite(tr.history["loss"][-1])
 
 
+def test_fit_resident_chunked_dispatch_keeps_host_obligations():
+    """fit_resident scan-chains steps on device in multi-epoch chunks
+    (one dispatch per chunk — per-step dispatch over the TPU relay costs
+    ~100x the step). Host-side obligations must survive the chunking:
+    per-epoch history, validation exactly on its cadence, and callbacks
+    seeing every epoch with end-of-epoch state."""
+    cfg_s = {"input_dim": 1, "output_dim": 1, "units": 8, "nlayers": 1,
+             "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+             "connectivity": "full", "weight_init_factor": 0.1}
+    cfg_p = {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0}
+    rng = np.random.default_rng(3)
+    G, P = 4, 64
+    t = np.linspace(0, 1, G, dtype=np.float32)[:, None]
+    x = rng.uniform(-1, 1, (G, P, 1)).astype(np.float32)
+    u = np.sin(2 * np.pi * x).astype(np.float32)
+
+    seen = []
+
+    class Recorder:
+        def on_train_begin(self, trainer):
+            pass
+
+        def on_epoch_end(self, trainer, state, epoch, logs):
+            seen.append((epoch, int(state.step), logs["loss"]))
+
+        def on_train_end(self, trainer, state):
+            seen.append(("end", int(state.step)))
+
+    model = nif_tpu.NIFMultiScale(cfg_s, cfg_p)
+    tr = GroupedTrainer(model, optax.adam(5e-3), seed=0)
+    state = tr.init(jax.random.key(0))
+    state = tr.fit_resident(
+        state, t, x, u, epochs=7, group_batch=2, point_batch=32, seed=1,
+        callbacks=[Recorder()],
+        validation_data=(t, x, u), validation_every=3,
+    )
+    # 2 steps/epoch x 7 epochs
+    assert int(state.step) == 14
+    assert tr.history["epoch"] == list(range(7))
+    assert len(tr.history["loss"]) == 7
+    # validation cadence: epochs 0, 3, 6
+    assert tr.history["val_epoch"] == [0, 3, 6]
+    assert all(np.isfinite(v) for v in tr.history["val_loss"])
+    # callbacks saw every epoch, with state advancing 2 steps/epoch
+    assert [s[0] for s in seen] == list(range(7)) + ["end"]
+    assert [s[1] for s in seen[:-1]] == [2 * (e + 1) for e in range(7)]
+
+    # without callbacks the whole run is chunked into few dispatches;
+    # the key schedule is independent of chunking, so the trajectory
+    # matches the per-epoch-dispatch (callback-constrained) run exactly
+    model2 = nif_tpu.NIFMultiScale(cfg_s, cfg_p)
+    tr2 = GroupedTrainer(model2, optax.adam(5e-3), seed=0)
+    s2 = tr2.init(jax.random.key(0))
+    tr2.fit_resident(s2, t, x, u, epochs=7, group_batch=2, point_batch=32,
+                     seed=1)
+    np.testing.assert_allclose(tr2.history["loss"],
+                               [s[2] for s in seen[:-1]], rtol=1e-6)
+
+
 def test_fast_path_observability(caplog):
     """An awkward P forfeits the fused kernel; the fallback must be
     loudly observable (round-2 review: it was silent and ~6-8x slower)."""
