@@ -36,15 +36,15 @@ import optax
 import nif_tpu
 
 
-def make_model():
+def make_model(units=128, nlayers=2, use_resblock=False):
     # Paper-scale-ish config: 3-D coordinates, width-128 SIREN ShapeNet.
     cfg_s = {
         "input_dim": 3,
         "output_dim": 1,
-        "units": 128,
-        "nlayers": 2,
+        "units": units,
+        "nlayers": nlayers,
         "activation": "sine",
-        "use_resblock": False,
+        "use_resblock": use_resblock,
         "omega_0": 30.0,
         "connectivity": "full",
         "weight_init_factor": 0.01,
@@ -123,22 +123,29 @@ def main():
     pps_grouped = G * P / dt_grouped
 
     # ------------- point-wise layout (reference algorithmic baseline) ------
-    B = 8192  # wb materializes [B, po_dim]; keep memory bounded
-    inp = jnp.asarray(rng.standard_normal((B, 7)), jnp.float32)
-    tgt = jnp.asarray(rng.standard_normal((B, 1)), jnp.float32)
+    # wb materializes [B, po_dim] (~17k f32 per point at width 128), so the
+    # layout cannot reach the fused path's 1M points/step — B=32768 is
+    # already ~2.2 GB of generated weights. The baseline takes the BEST
+    # throughput over batch sizes rather than a fixed B, so the headline
+    # vs_baseline ratio is against the point-wise layout at its own optimum.
+    pps_pw, best_B = 0.0, None
+    for B in (8192, 32768):
+        inp = jnp.asarray(rng.standard_normal((B, 7)), jnp.float32)
+        tgt = jnp.asarray(rng.standard_normal((B, 1)), jnp.float32)
 
-    def loss_pw(params):
-        pred = model.apply(params, inp)
-        return jnp.mean(jnp.square(pred - tgt))
+        def loss_pw(params, inp=inp, tgt=tgt):
+            pred = model.apply(params, inp)
+            return jnp.mean(jnp.square(pred - tgt))
 
-    def step_pw(state):
-        params, opt_state = state
-        loss, grads = jax.value_and_grad(loss_pw)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), opt_state), loss
+        def step_pw(state, loss_pw=loss_pw):
+            params, opt_state = state
+            loss, grads = jax.value_and_grad(loss_pw)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
 
-    dt_pw = steady_state_time(step_pw, (params, opt_state), n1=5, n2=20)
-    pps_pw = B / dt_pw
+        dt_pw = steady_state_time(step_pw, (params, opt_state), n1=5, n2=20)
+        if B / dt_pw > pps_pw:
+            pps_pw, best_B = B / dt_pw, B
 
     # ------------------- roofline: measured TFLOP/s + MXU utilization ------
     from nif_tpu.utils.roofline import step_report
@@ -153,6 +160,40 @@ def main():
         model.cfg_shape_net, model.cfg_parameter_net, G, P, dt_grouped,
         peak_tflops=peak,
     )
+
+    # Per-arithmetic-intensity utilization table (round-3 north-star
+    # evidence): the width-128 kernel is VPU/epilogue-limited, so MXU
+    # utilization must CLIMB as the matmul:epilogue op ratio grows. Measured
+    # profile (PARITY.md "MXU north star"): w128 ~26%, w256 >50% (the
+    # BASELINE.md bar at the width whose intensity supports it), deep
+    # resblock in between.
+    mxu_table = {}
+    for vname, vkw in (
+        ("w256_d2", dict(units=256, nlayers=2)),
+        ("w128_d4_resblock", dict(units=128, nlayers=4, use_resblock=True)),
+    ):
+        vmodel = make_model(**vkw)
+        vparams = vmodel.init(jax.random.key(0))
+        vopt = tx.init(vparams)
+
+        def vstep(state, vmodel=vmodel):
+            p, o = state
+            loss, grads = vmodel.mse_value_and_grad(p, t, x, u)
+            updates, o = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        dt_v = steady_state_time(vstep, (vparams, vopt), n1=5, n2=20,
+                                 repeats=2)
+        vrep = step_report(vmodel.cfg_shape_net, vmodel.cfg_parameter_net,
+                           G, P, dt_v, peak_tflops=peak)
+        mxu_table[vname] = {
+            "step_ms": round(dt_v * 1e3, 4),
+            "points_per_sec": round(G * P / dt_v, 1),
+            "tflops_per_sec": round(vrep["tflops_per_sec"], 2),
+        }
+        if peak is not None:
+            mxu_table[vname]["mxu_utilization"] = round(
+                vrep["mxu_utilization"], 4)
 
     # --------- NIF-linear fused train path (u = phi(x).a + b, tutorial 3) --
     lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
@@ -221,6 +262,8 @@ def main():
         "step_ms": round(dt_grouped * 1e3, 4),
         "tflops_per_sec": round(report["tflops_per_sec"], 2),
         "pnet_fraction": round(report["pnet_fraction"], 4),
+        "pointwise_baseline_batch": best_B,
+        "mxu_by_variant": mxu_table,
         "niflinear_train_points_per_sec_per_chip": round(pps_lin, 1),
         "niflinear_vs_xla_path": round(dt_lin_xla / dt_lin, 2),
         "infer_points_per_sec_per_chip": round(pps_inf, 1),
