@@ -4,9 +4,11 @@ the ShapeNet eval, on the flagship NIFMultiScale model.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 ``extra`` carries the roofline accounting (achieved TFLOP/s and MXU
 utilization vs the chip's bf16 peak — the BASELINE.md north-star, measured
-rather than argued) and the NIF-linear fused-train metric
+rather than argued), the NIF-linear fused-train metric
 (``niflinear_train_points_per_sec_per_chip`` + its speedup over the plain
-XLA path on the same chip).
+XLA path on the same chip), serving/ROM-decode throughput, and the fused
+derivative paths (``jacobian_eval_points_per_sec_per_chip``,
+``sobolev_train_points_per_sec_per_chip``).
 
 ``value``       — points/sec/chip for a full training step (forward +
                   backward + adam) in the grouped TPU-first layout with the
@@ -257,6 +259,35 @@ def main():
     dt_rom = steady_state_time(rom_step, (lp, jnp.zeros(())), n1=40, n2=160)
     pps_rom = G_rom * P_rom / dt_rom
 
+    # -------- derivative paths: fused (y, dy/dx) eval + Sobolev train core --
+    # XLA-path ratios are documented in PARITY.md (7.3x / 2.9x) — only the
+    # fused numbers are re-measured here to bound bench compile time.
+    from nif_tpu.ops.derivatives import output_and_jacobian_grouped
+
+    def jac_step(state):
+        p, acc = state
+        y, jac = output_and_jacobian_grouped(
+            model, p, t + acc * 1e-9, x + acc * 1e-9
+        )
+        acc = jnp.mean(y.astype(jnp.float32)) + jnp.mean(
+            jac.astype(jnp.float32))
+        return (p, acc), acc
+
+    dt_jac = steady_state_time(jac_step, (params, jnp.zeros(())), repeats=2)
+
+    jt = jnp.asarray(rng.standard_normal((G, P, 1, 3)), jnp.float32)
+
+    def sob_step(state):
+        p, o = state
+        total, _terms, grads = model.sobolev_value_and_grad(
+            p, t, x, u, target_jac=jt
+        )
+        updates, o = tx.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o), total
+
+    dt_sob = steady_state_time(sob_step, (params, tx.init(params)),
+                               n1=5, n2=20, repeats=2)
+
     extra = {
         "device_kind": kind,
         "step_ms": round(dt_grouped * 1e3, 4),
@@ -268,6 +299,8 @@ def main():
         "niflinear_vs_xla_path": round(dt_lin_xla / dt_lin, 2),
         "infer_points_per_sec_per_chip": round(pps_inf, 1),
         "rom_decode_points_per_sec_per_chip": round(pps_rom, 1),
+        "jacobian_eval_points_per_sec_per_chip": round(G * P / dt_jac, 1),
+        "sobolev_train_points_per_sec_per_chip": round(G * P / dt_sob, 1),
     }
     if peak is not None:
         extra["mxu_utilization"] = round(report["mxu_utilization"], 4)

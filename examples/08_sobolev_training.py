@@ -5,6 +5,13 @@ Covers (reference tutorial/8_revisit_multi_scale_NIF_with_sobolov_training
 spurious high-frequency signals; the separate loss terms are monitored
 per-epoch (the reference uses custom Keras metrics — here the loss returns
 a terms dict).
+
+``--grouped`` runs the same problem through the scalable grouped layout
+(``model.sobolev_value_and_grad``): the hypernetwork evaluates once per
+time snapshot, and on TPU the whole step core (forward + Jacobian + both
+MSE terms + backward) is ONE fused Pallas pass — the layout that scales
+Sobolev training to million-point groups (measured 2.9x the XLA jacfwd
+path at the flagship config; see docs/PERFORMANCE.md).
 """
 import argparse
 
@@ -72,9 +79,65 @@ def main(epochs=1000, w_jac=0.1, seed=0):
     return float(terms["value_mse"])
 
 
+def main_grouped(epochs=1000, w_jac=0.1, seed=0, n_xg=128):
+    """Grouped-layout Sobolev training: one hypernet eval per snapshot.
+
+    Uses n_x=128 so the point count per group divides the fused train
+    kernel's tile (pad to a multiple of 256 for large P)."""
+    G = 20
+    tw = TravelingWaveHighFreq(n_x=n_xg, freq=10.0)
+    data = np.asarray(tw.data, np.float32)  # normalized [t, x, u], t-major
+    t = data[::n_xg, 0:1]
+    x = data[:, 1:2].reshape(G, n_xg, 1)
+    u = data[:, 2:3].reshape(G, n_xg, 1)
+    lo = tw.n_p + tw.n_x
+    f = 10.0
+    x_raw = tw.data_raw[:, 1]
+    t_raw = tw.data_raw[:, 0]
+    dudx_raw = 2 * np.pi * f * np.cos(2 * np.pi * f * (x_raw - t_raw))
+    dudx_norm = dudx_raw * tw.std[1] / tw.std[lo]
+    tj = dudx_norm.reshape(G, n_xg, 1, 1).astype(np.float32)
+
+    cfg_s = {
+        "connectivity": "full", "input_dim": 1, "output_dim": 1, "units": 30,
+        "nlayers": 2, "weight_init_factor": 0.01, "omega_0": 30.0,
+        "activation": "sine", "use_resblock": False,
+    }
+    cfg_p = {"input_dim": 1, "latent_dim": 1, "units": 30, "nlayers": 2,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0}
+    model = nif_tpu.NIFMultiScale(cfg_s, cfg_p)
+    params = model.init(jax.random.key(seed))
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+    tg, xg, ug, tjg = map(jnp.asarray, (t, x, u, tj))
+
+    @jax.jit
+    def step(params, opt_state):
+        total, terms, g = model.sobolev_value_and_grad(
+            params, tg, xg, ug, target_jac=tjg, w_jac=w_jac
+        )
+        upd, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, total, terms
+
+    for e in range(epochs):
+        params, opt_state, l, terms = step(params, opt_state)
+        if e % max(epochs // 10, 1) == 0:
+            print(
+                f"epoch {e:5d}  total {float(l):.3e}  "
+                f"value {float(terms['value_mse']):.3e}  "
+                f"jac {float(terms['jacobian_mse']):.3e}"
+            )
+    return float(terms["value_mse"])
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=1000)
     ap.add_argument("--w-jac", type=float, default=0.1)
+    ap.add_argument("--grouped", action="store_true",
+                    help="grouped layout + fused Sobolev train core")
     args = ap.parse_args()
-    main(args.epochs, args.w_jac)
+    if args.grouped:
+        main_grouped(args.epochs, args.w_jac)
+    else:
+        main(args.epochs, args.w_jac)

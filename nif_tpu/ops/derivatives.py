@@ -38,6 +38,28 @@ def _as_index_array(idx: Index, dim: int):
     return jnp.atleast_1d(jnp.asarray(idx))
 
 
+def _select_jac(jac, y_index: Index, x_index: Index):
+    """Apply y_index/x_index subsetting to ``[..., d_out, d_in]`` — a no-op
+    when both are None (an unconditional arange-gather costs real time on
+    TPU for million-point Jacobians)."""
+    if y_index is not None:
+        jac = jac[..., _as_index_array(y_index, jac.shape[-2]), :]
+    if x_index is not None:
+        jac = jac[..., _as_index_array(x_index, jac.shape[-1])]
+    return jac
+
+
+def _select_hess(hess, y_index: Index, x_index: Index):
+    """Same, for ``[..., d_out, d_in, d_in]`` Hessians (x_index applies to
+    both trailing axes)."""
+    if y_index is not None:
+        hess = hess[..., _as_index_array(y_index, hess.shape[-3]), :, :]
+    if x_index is not None:
+        xi = _as_index_array(x_index, hess.shape[-1])
+        hess = hess[..., xi, :][..., xi]
+    return hess
+
+
 def output_and_jacobian(
     fn: Callable,
     inputs: jnp.ndarray,
@@ -61,9 +83,7 @@ def output_and_jacobian(
         return f(row), jax.jacfwd(f)(row)
 
     y, jac = jax.vmap(single)(inputs)
-    yi = _as_index_array(y_index, jac.shape[-2])
-    xi = _as_index_array(x_index, jac.shape[-1])
-    return y, jac[:, yi][..., xi]
+    return y, _select_jac(jac, y_index, x_index)
 
 
 def output_jacobian_hessian(
@@ -84,9 +104,8 @@ def output_jacobian_hessian(
         return f(row), jax.jacfwd(f)(row), jax.jacfwd(jax.jacfwd(f))(row)
 
     y, jac, hess = jax.vmap(single)(inputs)
-    yi = _as_index_array(y_index, jac.shape[-2])
-    xi = _as_index_array(x_index, jac.shape[-1])
-    return y, jac[:, yi][..., xi], hess[:, yi][:, :, xi][..., xi]
+    return (y, _select_jac(jac, y_index, x_index),
+            _select_hess(hess, y_index, x_index))
 
 
 def _grouped_point_fn(model, params, wb_g):
@@ -107,6 +126,33 @@ def _grouped_point_fn(model, params, wb_g):
     return lambda r: model.x_to_u_given_w(r[None], wb_g[None])[0]
 
 
+def _fwd_jac_fusable(model, x, fused) -> bool:
+    """Route (y, dy/dx) through the fused forward+JVP Pallas kernel?
+
+    Applies to the plain generated-chain models (NIF/NIFMultiScale with
+    'full' connectivity — NIF-linear's trunk carries trainable params the
+    kernel does not take) on TPU when the config/tile is supported."""
+    import inspect
+
+    from .pallas_shapenet import fwd_jac_supported
+
+    if fused is False:
+        return False
+    needs_params = "params" in inspect.signature(
+        model.x_to_u_given_w
+    ).parameters
+    if needs_params or not hasattr(model, "cfg_shape_net"):
+        return False
+    supported = fwd_jac_supported(
+        model.cfg_shape_net, model.shapenet_variant, x.shape[1], x.shape[2]
+    )
+    if fused is True:
+        return supported
+    from ..models.nif import _on_tpu
+
+    return supported and _on_tpu()
+
+
 def output_and_jacobian_grouped(
     model,
     params,
@@ -114,6 +160,7 @@ def output_and_jacobian_grouped(
     x: jnp.ndarray,
     y_index: Index = None,
     x_index: Index = None,
+    fused: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Grouped (y, dy/dx): ParameterNet runs ONCE per group.
 
@@ -125,6 +172,13 @@ def output_and_jacobian_grouped(
     the ShapeNet chain w.r.t. x (reference derivative semantics:
     nif/layers/gradient.py:207-231, per-point d u / d x).
 
+    On TPU the (y, jac) evaluation runs in ONE fused Pallas pass
+    (``shapenet_fwd_jac``) when the config supports it: reverse-mode
+    cotangent sweeps over the VMEM-resident chain when so < si (the
+    flagship scalar-field case), forward-mode tangent streams otherwise.
+    ``fused=False`` forces the XLA jacfwd path, ``fused=True`` forces the
+    kernel (e.g. under interpret mode on CPU).
+
     Args:
       t: ``[G, pi]`` parameters; x: ``[G, P, si]`` coordinates.
 
@@ -133,16 +187,26 @@ def output_and_jacobian_grouped(
     """
     wb = model.p_to_w(params, t)  # [G, po] — hypernet runs once per group
 
-    def single(wb_g, row):
-        f = _grouped_point_fn(model, params, wb_g)
-        return f(row), jax.jacfwd(f)(row)
+    if _fwd_jac_fusable(model, x, fused):
+        from .pallas_shapenet import shapenet_fwd_jac
 
-    y, jac = jax.vmap(
-        jax.vmap(single, in_axes=(None, 0)), in_axes=(0, 0)
-    )(wb, x)
-    yi = _as_index_array(y_index, jac.shape[-2])
-    xi = _as_index_array(x_index, jac.shape[-1])
-    return y, jac[:, :, yi][..., xi]
+        # the XLA path casts to the compute dtype inside x_to_u_given_w;
+        # the kernel must see the same dtype (f32 x under a bf16 policy
+        # silently ran the whole kernel at f32: exact trig + 6-pass
+        # HIGHEST matmuls, measured 4x slower)
+        y, jac = shapenet_fwd_jac(
+            wb, model.policy.cast_to_compute(x),
+            model.cfg_shape_net, model.shapenet_variant,
+        )
+    else:
+        def single(wb_g, row):
+            f = _grouped_point_fn(model, params, wb_g)
+            return f(row), jax.jacfwd(f)(row)
+
+        y, jac = jax.vmap(
+            jax.vmap(single, in_axes=(None, 0)), in_axes=(0, 0)
+        )(wb, x)
+    return y, _select_jac(jac, y_index, x_index)
 
 
 def output_jacobian_hessian_grouped(
@@ -164,10 +228,8 @@ def output_jacobian_hessian_grouped(
     y, jac, hess = jax.vmap(
         jax.vmap(single, in_axes=(None, 0)), in_axes=(0, 0)
     )(wb, x)
-    yi = _as_index_array(y_index, jac.shape[-2])
-    xi = _as_index_array(x_index, jac.shape[-1])
-    return (y, jac[:, :, yi][..., xi],
-            hess[:, :, yi][:, :, :, xi][..., xi])
+    return (y, _select_jac(jac, y_index, x_index),
+            _select_hess(hess, y_index, x_index))
 
 
 def sobolev_loss_grouped(
@@ -197,8 +259,11 @@ def sobolev_loss_grouped(
         )
         terms = {"hessian_mse": jnp.mean(jnp.square(hess - target_hess))}
     else:
+        # fused=False: the training loss is differentiated w.r.t. params,
+        # and the fused fwd+jac kernel is evaluation-only (no VJP rule) —
+        # Sobolev training stays on the XLA jacfwd path
         y, jac = output_and_jacobian_grouped(
-            model, params, t, x, y_index, x_index
+            model, params, t, x, y_index, x_index, fused=False
         )
         terms = {}
     tshape = jnp.shape(targets)

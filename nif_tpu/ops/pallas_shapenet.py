@@ -44,6 +44,12 @@ __all__ = [
     "niflinear_mse_grads",
     "linear_fused_supported",
     "linear_fused_unsupported_reason",
+    "shapenet_fwd_jac",
+    "fwd_jac_supported",
+    "fwd_jac_unsupported_reason",
+    "shapenet_sobolev_grads",
+    "sobolev_fused_supported",
+    "sobolev_fused_unsupported_reason",
 ]
 
 
@@ -82,11 +88,32 @@ def _fast_sin_grad(y):
     ) * _INV2PI
 
 
+def _fast_sin_grad2(y):
+    """d2/dy2 of _fast_sin — exact curvature of the forward polynomial.
+
+    P(t) = t(c1 + c3 s + c5 s^2 + c7 s^3 + c9 s^4), s = t^2, so
+    P''(t) = t(6 c3 + 20 c5 s + 42 c7 s^2 + 72 c9 s^3)."""
+    t = y * _INV2PI
+    t = t - jnp.round(t)
+    s = t * t
+    _, c3, c5, c7, c9 = _SIN_C
+    return t * (
+        6 * c3 + s * (20 * c5 + s * (42 * c7 + s * (72 * c9)))
+    ) * (_INV2PI * _INV2PI)
+
+
 def _trig_for(dtype):
     """(sin, dsin/dy) — polynomial for bf16 compute, exact for f32."""
     if jnp.dtype(dtype) == jnp.bfloat16:
         return _fast_sin, _fast_sin_grad
     return jnp.sin, jnp.cos
+
+
+def _trig2_for(dtype):
+    """(sin, d1, d2) — the curvature term the Sobolev backward needs."""
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        return _fast_sin, _fast_sin_grad, _fast_sin_grad2
+    return jnp.sin, jnp.cos, lambda z: -jnp.sin(z)
 
 
 # --------------------------------------------------------------------------
@@ -114,6 +141,35 @@ def _act_pair(name: str) -> Tuple[Callable, Callable]:
         return jax.nn.sigmoid, d_sigmoid
     if name == "linear":
         return (lambda z: z), (lambda z: jnp.ones_like(z))
+    raise ValueError(f"activation {name!r} not supported by the fused kernel")
+
+
+def _act_triple(name: str) -> Tuple[Callable, Callable, Callable]:
+    """(act, act', act'') — reverse-mode through a forward-mode tangent
+    multiplies by the activation's second derivative."""
+    act, d1 = _act_pair(name)
+    if name == "sine":
+        return act, d1, lambda z: -jnp.sin(z)
+    if name == "tanh":
+        def d2(z):
+            a = jnp.tanh(z)
+            return -2.0 * a * (1.0 - jnp.square(a))
+        return act, d1, d2
+    if name == "relu":
+        return act, d1, lambda z: jnp.zeros_like(z)
+    if name in ("swish", "silu"):
+        def d2(z):
+            s = jax.nn.sigmoid(z)
+            # f'' = s'(2 + z(1-2s)), s' = s(1-s)
+            return s * (1.0 - s) * (2.0 + z * (1.0 - 2.0 * s))
+        return act, d1, d2
+    if name == "sigmoid":
+        def d2(z):
+            s = jax.nn.sigmoid(z)
+            return s * (1.0 - s) * (1.0 - 2.0 * s)
+        return act, d1, d2
+    if name == "linear":
+        return act, d1, lambda z: jnp.zeros_like(z)
     raise ValueError(f"activation {name!r} not supported by the fused kernel")
 
 
@@ -1016,3 +1072,659 @@ def niflinear_mse_grads(
     d_a = outs[1 + 2 * n_w][:, 0, :] / n_elem
     d_bias = outs[2 + 2 * n_w][0, 0] / n_elem
     return loss, d_ws, d_bs, d_a, d_bias
+
+
+# --------------------------------------------------------------------------
+# Fused forward + Jacobian kernel: y and du/dx in ONE pass.
+#
+# The grouped derivative path (ops.derivatives.output_and_jacobian_grouped,
+# reference JacobianLayer semantics nif/layers/gradient.py:207-231)
+# differentiates a chain with tiny input (si = 1-3 coordinates) and tiny
+# output (so = 1-3 fields). Under XLA the sine AND cosine epilogues break
+# fusion exactly like the forward's (every derivative intermediate
+# round-trips HBM); here the whole thing stays VMEM-resident, and the
+# cheaper differentiation MODE is chosen per config: so < si runs so
+# reverse cotangent sweeps over the saved chain (_jac_rev_layers), else si
+# forward tangent streams ride the chain (_fwd_jac_layers). The cosine
+# reuses the TRUE derivative of the forward polynomial in bf16, so the
+# Jacobian is exact for the function computed.
+# --------------------------------------------------------------------------
+def _pick_tile_jac(P: int, cfg: ShapeNetConfig, si: int, itemsize: int):
+    """Point tile for the fwd+jac kernel: holds ~3 live activations PLUS
+    si tangent streams per layer boundary (compute dtype). The f32 pad
+    surcharge counts the double-buffered narrow in/out tiles (x, out, and
+    one jac block per stream, each lane-padded to 128): w64 so=2/si=1
+    measured 17.15M scoped at TP=2048 under the old 4-buffer charge."""
+    pad_extra = 2 * (2 + 2 * (1 + si)) * 128 * itemsize if itemsize > 2 else 0
+    bytes_per_row = 3 * (1 + si) * cfg.units * 4 + pad_extra
+    budget = (_VMEM_BF16_BACKWARD_BUDGET if itemsize <= 2
+              else _VMEM_RESIDUAL_BUDGET)
+    cap = max(min(4096, budget // max(bytes_per_row, 1)), 8)
+    for tp in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if tp <= cap and P % tp == 0:
+            return tp
+    return None
+
+
+def fwd_jac_unsupported_reason(cfg: ShapeNetConfig, variant: str, P: int,
+                               si: int) -> Optional[str]:
+    base = fused_unsupported_reason(cfg, variant, P)
+    if base is not None:
+        return base
+    rev = cfg.output_dim < si
+    tile = (_pick_tile(P, cfg, backward=True, itemsize=2) if rev
+            else _pick_tile_jac(P, cfg, si, 2))
+    if tile is None:
+        return (f"P={P} not divisible by any fwd+jac point tile — pad P "
+                f"to a multiple of 256")
+    return None
+
+
+def fwd_jac_supported(cfg: ShapeNetConfig, variant: str, P: int,
+                      si: int) -> bool:
+    return fwd_jac_unsupported_reason(cfg, variant, P, si) is None
+
+
+def _fwd_jac_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str,
+                    save: bool = False):
+    """Forward chain + si tangent streams. Returns (out [TP, so],
+    jac_flat [TP, si*so], saved) with jac_flat[:, k*so + j] = d out_j / d x_k.
+
+    The value row-block and the si tangent row-blocks are STACKED into one
+    ``[(1+si)*TP, n]`` operand so each layer runs ONE large MXU matmul
+    instead of (1+si) small ones (measured: the stacked form and the
+    per-tangent form are within a few % at w128 — the chain is bound by
+    the tangent epilogue traffic, not matmul count — but the stacked form
+    is the one whose backward also runs as single large matmuls, see
+    :func:`_sobolev_backward_chain`).
+
+    With ``save=True`` also returns the residuals the Sobolev backward
+    needs: ``saved = (z0, S_list, Z_list)`` where ``S_list`` holds the
+    stacked input of every hidden matmul app plus the final stacked
+    activations (input to the last matmul), and ``Z_list`` the raw stacked
+    matmul results per app — nothing is recomputed in the backward.
+    """
+    l = cfg.nlayers
+    si = x.shape[-1]
+    TP = x.shape[0]
+    cdt = x.dtype
+    sin_fn, dsin_fn = _trig_for(cdt)
+
+    def lift(u):
+        return u.astype(cdt)
+
+    if variant == "siren":
+        act_fn, dact_fn = sin_fn, dsin_fn
+    else:
+        act_fn, dact_fn = _act_pair(cfg.activation)
+
+    def blocks(S):
+        # value block + si tangent blocks of the stacked matrix
+        return [S[k * TP:(k + 1) * TP] for k in range(1 + si)]
+
+    def stack(parts):
+        return jnp.concatenate(parts, axis=0)
+
+    S_list: List[Any] = []
+    Z_list: List[Any] = []
+
+    # first layer (weights pre-scaled by omega for siren): seed tangents
+    # d u / d x_k = act'(z0) * W0[k, :]
+    z0 = _first_matmul(x, ws[0]) + bs[0].astype(jnp.float32)
+    u = act_fn(z0)
+    g0 = dact_fn(z0)
+    S = stack([u] + [g0 * ws[0][k, :].astype(jnp.float32)[None, :]
+                     for k in range(si)])
+
+    def app(S, w, b):
+        """One stacked matmul app; saves (S_in, Z) for the backward."""
+        Z = _matmul(lift(S), w)
+        if save:
+            S_list.append(S)
+            Z_list.append(Z)
+        z = Z[:TP] + b.astype(jnp.float32)
+        return Z, z
+
+    if variant == "siren" and cfg.use_resblock:
+        for i in range(l):
+            u_blk, *tans = blocks(S)
+            Z1, z1 = app(S, ws[1 + 2 * i], bs[1 + 2 * i])
+            g1 = dact_fn(z1)
+            Sh = stack([act_fn(z1)] + [g1 * zk for zk in blocks(Z1)[1:]])
+            Z2, z2 = app(Sh, ws[2 + 2 * i], bs[2 + 2 * i])
+            g2 = dact_fn(z2)
+            S = stack(
+                [0.5 * (u_blk + act_fn(z2))]
+                + [0.5 * (t + g2 * zk)
+                   for t, zk in zip(tans, blocks(Z2)[1:])]
+            )
+    elif variant == "siren":
+        for i in range(l):
+            Z, z = app(S, ws[1 + i], bs[1 + i])
+            g = dact_fn(z)
+            S = stack([act_fn(z)] + [g * zk for zk in blocks(Z)[1:]])
+    else:
+        for i in range(l):
+            u_blk, *tans = blocks(S)
+            Z, z = app(S, ws[1 + i], bs[1 + i])
+            g = dact_fn(z)
+            # simple shortcut (ops.shapenet vanilla): u' = act(z) + u
+            S = stack([act_fn(z) + u_blk]
+                      + [g * zk + t for t, zk in zip(tans, blocks(Z)[1:])])
+
+    if save:
+        S_list.append(S)
+    O = _last_matmul(lift(S), ws[-1])  # [(1+si)*TP, so] in one pass
+    out = O[:TP] + bs[-1].astype(jnp.float32)
+    jac_cols = blocks(O)[1:]  # each [TP, so]; col k holds d out / d x_k
+    saved = (z0, S_list, Z_list) if save else None
+    return out, jac_cols, saved
+
+
+def _fwd_jac_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, si: int,
+                    *refs):
+    # outputs: out [TP, so] + si per-input-column jac blocks [TP, so]
+    # (separate refs — Mosaic's tpu.concatenate cannot merge lane-sliced
+    # narrow vectors with mismatched lane offsets; per-stream refs avoid
+    # narrow lane shuffles entirely, found at real-compile time)
+    ws = [refs[i][0] for i in range(n_w)]
+    bs = [refs[n_w + i][0] for i in range(n_w)]
+    x_ref = refs[2 * n_w]
+    out_ref = refs[2 * n_w + 1]
+    jac_refs = refs[2 * n_w + 2: 2 * n_w + 2 + si]
+    out, jac_cols, _ = _fwd_jac_layers(x_ref[0], ws, bs, cfg, variant)
+    out_ref[0] = out.astype(out_ref.dtype)
+    for r, c in zip(jac_refs, jac_cols):
+        r[0] = c.astype(r.dtype)
+
+
+def _jac_rev_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str):
+    """(out, [jac_j [TP, si] per output j]) via REVERSE-mode: forward
+    chain with saved pre-activations, then one dx-only cotangent sweep
+    per output column.
+
+    For so < si this does strictly less work than the tangent form
+    (:func:`_fwd_jac_layers`): so cotangent streams instead of si tangent
+    streams, one multiply per layer per stream, and no stacking shuffles —
+    the flagship so=1 case runs a single ``[TP, n]`` stream whose cost is
+    one extra matmul chain (measured 310M pts/s bf16 at w128 si=3 — 7.3x
+    the XLA jacfwd path). No weight/bias gradients are formed; this is
+    the JacobianLayer evaluation path only."""
+    l = cfg.nlayers
+    TP, si = x.shape
+    cdt = x.dtype
+    so = ws[-1].shape[-1]
+    if variant == "siren":
+        _, d1 = _trig_for(cdt)
+    else:
+        _, d1 = _act_pair(cfg.activation)
+
+    def lift(u):
+        return u.astype(cdt)
+
+    out, _ins, zs = _forward_layers(x, ws, bs, cfg, variant, save=True)
+    cols = []
+    for j in range(so):
+        # cotangent of out_j at u_last is the j-th last-layer weight
+        # column, materialized [1, n] via a one-hot matmul — slicing the
+        # [n, so] lane dim and transposing poisons downstream layouts
+        # (measured: the whole sweep spills ~5x the expected scoped vmem)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, so), 1) == j
+                  ).astype(jnp.float32)
+        du = _mmT_nt(onehot, ws[-1].astype(jnp.float32))
+        if variant == "siren" and cfg.use_resblock:
+            for i in range(l - 1, -1, -1):
+                dz2 = 0.5 * du * d1(zs[2 + 2 * i])
+                dh = _mmT_nt(lift(dz2), ws[2 + 2 * i]).astype(jnp.float32)
+                dz1 = dh * d1(zs[1 + 2 * i])
+                du = 0.5 * du + _mmT_nt(lift(dz1), ws[1 + 2 * i]).astype(
+                    jnp.float32)
+        elif variant == "siren":
+            for i in range(l - 1, -1, -1):
+                dz = du * d1(zs[1 + i])
+                du = _mmT_nt(lift(dz), ws[1 + i]).astype(jnp.float32)
+        else:
+            for i in range(l - 1, -1, -1):
+                dz = du * d1(zs[1 + i])
+                du = du + _mmT_nt(lift(dz), ws[1 + i]).astype(jnp.float32)
+        dz0 = du * d1(zs[0])
+        cols.append(_mmT_nt(lift(dz0), ws[0]))  # [TP, si]
+    return out, cols
+
+
+def _fwd_jac_rev_kernel(cfg: ShapeNetConfig, variant: str, n_w: int,
+                        so: int, *refs):
+    # outputs: out [TP, so] + so per-output-row jac blocks [TP, si]
+    ws = [refs[i][0] for i in range(n_w)]
+    bs = [refs[n_w + i][0] for i in range(n_w)]
+    x_ref = refs[2 * n_w]
+    out_ref = refs[2 * n_w + 1]
+    jac_refs = refs[2 * n_w + 2: 2 * n_w + 2 + so]
+    out, cols = _jac_rev_layers(x_ref[0], ws, bs, cfg, variant)
+    out_ref[0] = out.astype(out_ref.dtype)
+    for r, c in zip(jac_refs, cols):
+        r[0] = c.astype(r.dtype)
+
+
+def shapenet_fwd_jac(
+    wb: jnp.ndarray,
+    x: jnp.ndarray,
+    cfg: ShapeNetConfig,
+    variant: str = "siren",
+    interpret: bool = None,
+):
+    """Fused (y, dy/dx) for the grouped ShapeNet chain.
+
+    ``wb [G, po]``, ``x [G, P, si]`` -> ``y [G, P, so]``,
+    ``jac [G, P, so, si]``. Jacobian semantics match
+    ``output_and_jacobian_grouped``'s forward-mode path (reference
+    nif/layers/gradient.py:207-231); falls back to it implicitly when the
+    config is unsupported — callers should check :func:`fwd_jac_supported`.
+
+    Differentiation mode is picked by stream count: so < si runs
+    reverse-mode (so cotangent sweeps over the saved chain,
+    :func:`_jac_rev_layers`), otherwise forward-mode tangents ride the
+    chain (:func:`_fwd_jac_layers`).
+    """
+    G, P, si = x.shape
+    so = cfg.output_dim
+    interpret = _resolve_interpret(interpret)
+    parts = unpack_shapenet_weights(wb, cfg)
+    ws, bs = _split_chain(parts)
+    ws = _prescale(ws, cfg, variant)
+    rev = so < si
+    TP = (_pick_tile(P, cfg, backward=True, itemsize=x.dtype.itemsize)
+          if rev else _pick_tile_jac(P, cfg, si, x.dtype.itemsize))
+    n_w = len(ws)
+    grid = (G, P // TP)
+
+    w_specs = [
+        pl.BlockSpec((1,) + w.shape[1:], lambda g, p: (g, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for w in ws
+    ]
+    bs = [b[:, None, :] for b in bs]
+    b_specs = [
+        pl.BlockSpec((1, 1, b.shape[2]), lambda g, p: (g, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for b in bs
+    ]
+    x_spec = pl.BlockSpec((1, TP, si), lambda g, p: (g, p, 0),
+                          memory_space=pltpu.VMEM)
+    n_streams = so if rev else si
+    blk_w = si if rev else so
+    out_specs = [
+        pl.BlockSpec((1, TP, so), lambda g, p: (g, p, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((1, TP, blk_w), lambda g, p: (g, p, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(n_streams)
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((G, P, so), x.dtype)] + [
+        jax.ShapeDtypeStruct((G, P, blk_w), x.dtype)
+        for _ in range(n_streams)
+    ]
+    n = cfg.units
+    l_mats = n_w - 2
+    flops = 2 * G * P * (1 + n_streams) * (si * n + l_mats * n * n + n * so)
+    kernel = functools.partial(
+        _fwd_jac_rev_kernel if rev else _fwd_jac_kernel, cfg, variant, n_w,
+        n_streams)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[*w_specs, *b_specs, x_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize * (2 + si * so),
+            transcendentals=2 * G * P * n * (n_w - 1),
+        ),
+        interpret=interpret,
+    )(*ws, *bs, x)
+    out = outs[0]
+    if rev:
+        # stream j is jac row j: [G, P, si] each -> [G, P, so, si]
+        jac = jnp.stack(outs[1:], axis=2)
+    else:
+        # stream k is jac column k: [G, P, so] each -> [G, P, so, si]
+        jac = jnp.stack(outs[1:], axis=3)
+    return out, jac
+
+
+# --------------------------------------------------------------------------
+# Fused Sobolev training kernel: fwd + jac + value/jacobian MSE + backward
+# in ONE pass (tutorial-8 training at scale; reference loss semantics
+# nif/layers/gradient.py:207-231 + examples_sobolev notebook).
+#
+# Reverse-mode through the forward-mode tangent chain: each stacked app
+# S' = [act(z); act'(z)*Z_k] reverses as
+#   dz  = du' * act'(z) + sum_k dt'_k * Z_k * act''(z)   (curvature term)
+#   dZk = dt'_k * act'(z)
+#   dW  = S_inT @ [dz; dZ_k...]     (ONE stacked MXU matmul)
+#   dS  = [dz; dZ_k...] @ W^T       (ONE stacked MXU matmul)
+# so the backward has the same large-matmul structure as the forward. The
+# Jacobian cotangent is exact for the function the kernel computes (bf16
+# path: polynomial sine and its true first/second derivatives).
+# --------------------------------------------------------------------------
+def _sobolev_backward_chain(D_out, ws, bs, x, z0, S_list, Z_list,
+                            cfg: ShapeNetConfig, variant: str, cdt):
+    """Reverse the stacked fwd+tangent chain. ``D_out [(1+si)*TP, so]`` is
+    the stacked cotangent of the last matmul's output (value rows = dL/dy,
+    tangent rows k = dL/djac column-block k). Returns (dws, dbs) in f32."""
+    l = cfg.nlayers
+    n_w = len(ws)
+    si = x.shape[-1]
+    TP = x.shape[0]
+    if variant == "siren":
+        _, d1, d2 = _trig2_for(cdt)
+    else:
+        _, d1, d2 = _act_triple(cfg.activation)
+
+    def lift(u):
+        return u.astype(cdt)
+
+    def blocks(S):
+        return [S[k * TP:(k + 1) * TP] for k in range(1 + si)]
+
+    def stack(parts):
+        return jnp.concatenate(parts, axis=0)
+
+    dws: List[Any] = [None] * n_w
+    dbs: List[Any] = [None] * n_w
+
+    # last (linear) layer: O = S_last @ W_l (+ b_l on the value rows)
+    S_last = S_list[-1]
+    dws[-1] = _mmT_tn(lift(S_last), lift(D_out))
+    dbs[-1] = jnp.sum(D_out[:TP], axis=0)
+    dS = _mmT_nt(lift(D_out), ws[-1]).astype(jnp.float32)
+
+    def app_bwd(dz_val, dts, S_in, Z, w, g):
+        """Common tail of one app's reverse: weight/bias grads + dS."""
+        D = stack([dz_val] + [dt_k * g for dt_k in dts])
+        dw = _mmT_tn(lift(S_in), lift(D))
+        db = jnp.sum(dz_val, axis=0)
+        return dw, db, _mmT_nt(lift(D), w).astype(jnp.float32)
+
+    if variant == "siren" and cfg.use_resblock:
+        for i in range(l - 1, -1, -1):
+            S_in, Z1 = S_list[2 * i], Z_list[2 * i]
+            Sh, Z2 = S_list[2 * i + 1], Z_list[2 * i + 1]
+            w1, b1 = ws[1 + 2 * i], bs[1 + 2 * i]
+            w2, b2 = ws[2 + 2 * i], bs[2 + 2 * i]
+            du_, *dts = blocks(dS)
+            z2 = Z2[:TP] + b2.astype(jnp.float32)
+            g2, h2 = d1(z2), d2(z2)
+            dz2 = 0.5 * du_ * g2
+            for dt_k, zk in zip(dts, blocks(Z2)[1:]):
+                dz2 = dz2 + 0.5 * dt_k * zk * h2
+            dws[2 + 2 * i], dbs[2 + 2 * i], dSh = app_bwd(
+                dz2, [0.5 * dt_k for dt_k in dts], Sh, Z2, w2, g2)
+            z1 = Z1[:TP] + b1.astype(jnp.float32)
+            g1, h1 = d1(z1), d2(z1)
+            dh, *dhts = blocks(dSh)
+            dz1 = dh * g1
+            for dt_k, zk in zip(dhts, blocks(Z1)[1:]):
+                dz1 = dz1 + dt_k * zk * h1
+            dws[1 + 2 * i], dbs[1 + 2 * i], dS_new = app_bwd(
+                dz1, dhts, S_in, Z1, w1, g1)
+            dS = dS_new + 0.5 * dS  # skip path
+    elif variant == "siren":
+        for i in range(l - 1, -1, -1):
+            S_in, Z = S_list[i], Z_list[i]
+            w, b = ws[1 + i], bs[1 + i]
+            z = Z[:TP] + b.astype(jnp.float32)
+            g, h = d1(z), d2(z)
+            du_, *dts = blocks(dS)
+            dz = du_ * g
+            for dt_k, zk in zip(dts, blocks(Z)[1:]):
+                dz = dz + dt_k * zk * h
+            dws[1 + i], dbs[1 + i], dS = app_bwd(dz, dts, S_in, Z, w, g)
+    else:
+        for i in range(l - 1, -1, -1):
+            S_in, Z = S_list[i], Z_list[i]
+            w, b = ws[1 + i], bs[1 + i]
+            z = Z[:TP] + b.astype(jnp.float32)
+            g, h = d1(z), d2(z)
+            du_, *dts = blocks(dS)
+            dz = du_ * g
+            for dt_k, zk in zip(dts, blocks(Z)[1:]):
+                dz = dz + dt_k * zk * h
+            dws[1 + i], dbs[1 + i], dS_new = app_bwd(dz, dts, S_in, Z, w, g)
+            dS = dS_new + dS  # simple shortcut passes grads straight through
+    # first layer: z0 = x @ W0 + b0; tangent seeds t_k = act'(z0)*W0[k,:]
+    g0, h0 = d1(z0), d2(z0)
+    du_, *dts = blocks(dS)
+    dz0 = du_ * g0
+    for k, dt_k in enumerate(dts):
+        row = ws[0][k, :].astype(jnp.float32)[None, :]
+        dz0 = dz0 + dt_k * row * h0
+    dw0 = _mmT_tn(lift(x), lift(dz0))  # [si, n] value-stream term
+    seed_rows = jnp.concatenate(
+        [jnp.sum(dt_k * g0, axis=0, keepdims=True) for dt_k in dts], axis=0
+    )  # d(t_k seed)/dW0[k,:]
+    dws[0] = dw0 + seed_rows
+    dbs[0] = jnp.sum(dz0, axis=0)
+    return dws, dbs
+
+
+def _pick_tile_sobolev(P: int, cfg: ShapeNetConfig, si: int, itemsize: int):
+    """Point tile for the Sobolev train kernel: per point it holds the
+    stacked residuals of every app (S_in + Z, each (1+si)*units), the final
+    stacked activations, z0, two live stacked temporaries, and the padded
+    x/target/jac-target input tiles — charged at f32 like the other train
+    kernels."""
+    n_apps = (2 if cfg.use_resblock else 1) * cfg.nlayers
+    stacked = 2 * n_apps + 1 + 2  # S_list + Z_list + final S + live D/dS
+    bytes_per_row = ((1 + si) * stacked * cfg.units + cfg.units) * 4 \
+        + 8 * 128 * max(itemsize, 2)
+    budget = (_VMEM_BF16_BACKWARD_BUDGET if itemsize <= 2
+              else _VMEM_RESIDUAL_BUDGET)
+    cap = max(min(2048, budget // max(bytes_per_row, 1)), 8)
+    for tp in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if tp <= cap and P % tp == 0:
+            return tp
+    return None
+
+
+def sobolev_fused_unsupported_reason(cfg: ShapeNetConfig, variant: str,
+                                     P: int, si: int) -> Optional[str]:
+    base = fused_unsupported_reason(cfg, variant, P)
+    if base is not None:
+        return base
+    if _pick_tile_sobolev(P, cfg, si, 2) is None:
+        return (f"P={P} not divisible by any Sobolev train tile — pad P "
+                f"to a multiple of 256")
+    return None
+
+
+def sobolev_fused_supported(cfg: ShapeNetConfig, variant: str, P: int,
+                            si: int) -> bool:
+    return sobolev_fused_unsupported_reason(cfg, variant, P, si) is None
+
+
+def _sobolev_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, si: int,
+                    ky: float, kj: float, has_my: bool, has_mj: bool,
+                    *refs):
+    # in refs:  w_0.., b_0.., x, target, jt_0..jt_{si-1}, (y_mask),
+    #           (jac_mask_0..jac_mask_{si-1})
+    # out refs: loss_val [1,1], loss_jac [1,1], dw_0.., db_0..
+    # Per-stream jac targets/masks — a single [TP, si*so] operand would
+    # need narrow lane slices whose offsets Mosaic's concatenate cannot
+    # reconcile (found at real-compile time).
+    ws = [refs[i][0] for i in range(n_w)]
+    bs = [refs[n_w + i][0] for i in range(n_w)]
+    x = refs[2 * n_w][0]
+    t_ref = refs[2 * n_w + 1]
+    ofs = 2 * n_w + 2
+    jt_refs = refs[ofs: ofs + si]
+    ofs += si
+    my_ref = refs[ofs] if has_my else None
+    ofs += 1 if has_my else 0
+    mj_refs = refs[ofs: ofs + si] if has_mj else None
+    ofs += si if has_mj else 0
+    lv_ref = refs[ofs]
+    lj_ref = refs[ofs + 1]
+    dw_refs = refs[ofs + 2: ofs + 2 + n_w]
+    db_refs = refs[ofs + 2 + n_w: ofs + 2 + 2 * n_w]
+
+    out, jac_cols, saved = _fwd_jac_layers(x, ws, bs, cfg, variant,
+                                           save=True)
+    err_y = out - t_ref[0].astype(jnp.float32)
+    if has_my:
+        err_y = err_y * my_ref[0][0].astype(jnp.float32)
+    err_cols = []
+    for k in range(si):
+        e = jac_cols[k] - jt_refs[k][0].astype(jnp.float32)
+        if has_mj:
+            e = e * mj_refs[k][0][0].astype(jnp.float32)
+        err_cols.append(e)
+    lv = jnp.sum(jnp.square(err_y))
+    lj = sum(jnp.sum(jnp.square(e)) for e in err_cols)
+
+    dout = ky * err_y
+    D_out = jnp.concatenate([dout] + [kj * e for e in err_cols], axis=0)
+    z0, S_list, Z_list = saved
+    dws, dbs = _sobolev_backward_chain(
+        D_out, ws, bs, x, z0, S_list, Z_list, cfg, variant, x.dtype)
+
+    g = pl.program_id(0)
+    p = pl.program_id(1)
+    first = jnp.logical_and(g == 0, p == 0)
+
+    @pl.when(first)
+    def _init_loss():
+        lv_ref[0, 0] = lv
+        lj_ref[0, 0] = lj
+
+    @pl.when(jnp.logical_not(first))
+    def _acc_loss():
+        lv_ref[0, 0] = lv_ref[0, 0] + lv
+        lj_ref[0, 0] = lj_ref[0, 0] + lj
+
+    _write_grad_accum(dw_refs, db_refs, dws, dbs)
+
+
+def shapenet_sobolev_grads(
+    wb: jnp.ndarray,
+    x: jnp.ndarray,
+    target: jnp.ndarray,
+    jac_target: jnp.ndarray,
+    cfg: ShapeNetConfig,
+    variant: str = "siren",
+    w_value: float = 1.0,
+    w_jac: float = 1.0,
+    y_mask=None,
+    jac_mask=None,
+    interpret: bool = None,
+):
+    """Fused Sobolev train step core: ONE pallas_call computing forward +
+    Jacobian + both MSE terms + the full backward.
+
+    Loss = ``w_value * mean_sel((y - target)^2)
+           + w_jac * mean_sel((jac - jac_target)^2)`` with means taken over
+    the mask-selected entries (reference y_index/x_index subsetting).
+
+    Args:
+      wb ``[G, po]``; x ``[G, P, si]``; target ``[G, P, so]`` (zero-filled
+      outside ``y_mask``); jac_target ``[G, P, si*so]`` in the kernel's
+      flat layout (column ``k*so + j`` = d y_j / d x_k, zero-filled outside
+      ``jac_mask``). ``y_mask [so]`` / ``jac_mask [si*so]`` are static 0/1
+      numpy arrays (None = all entries).
+
+    Returns ``(value_mse, jac_mse, d_wb)`` — the caller combines the total
+    as ``w_value*value_mse + w_jac*jac_mse``; ``d_wb`` already includes
+    both weights. Not differentiable — use inside a hand-assembled train
+    step (see ``NIF.sobolev_value_and_grad``).
+    """
+    G, P, si = x.shape
+    so = cfg.output_dim
+    interpret = _resolve_interpret(interpret)
+    parts = unpack_shapenet_weights(wb, cfg)
+    ws, bs = _split_chain(parts)
+    ws = _prescale(ws, cfg, variant)
+    bs3 = [b[:, None, :] for b in bs]
+    TP = _pick_tile_sobolev(P, cfg, si, x.dtype.itemsize)
+    n_w = len(ws)
+    grid = (G, P // TP)
+
+    n_y = G * P * (int(np.sum(y_mask)) if y_mask is not None else so)
+    n_j = G * P * (int(np.sum(jac_mask)) if jac_mask is not None
+                   else si * so)
+    ky = 2.0 * float(w_value) / n_y
+    kj = 2.0 * float(w_jac) / n_j
+
+    wspec = lambda shp: pl.BlockSpec((1,) + shp, lambda g, p: (g, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    bspec = lambda b: pl.BlockSpec((1, 1, b.shape[2]), lambda g, p: (g, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    tspec = lambda w: pl.BlockSpec((1, TP, w), lambda g, p: (g, p, 0),
+                                   memory_space=pltpu.VMEM)
+    in_specs = (
+        [wspec(w.shape[1:]) for w in ws]
+        + [bspec(b) for b in bs3]
+        + [pl.BlockSpec((1, TP, si), lambda g, p: (g, p, 0),
+                        memory_space=pltpu.VMEM),
+           tspec(so)]
+        + [tspec(so) for _ in range(si)]  # per-stream jac targets
+    )
+    # split the flat jac target into per-input-column [G, P, so] operands
+    jt_cols = [jac_target[..., k * so:(k + 1) * so].astype(x.dtype)
+               for k in range(si)]
+    mask_args = []
+    if y_mask is not None:
+        m3 = jnp.asarray(y_mask, jnp.float32)[None, None, :]
+        in_specs.append(
+            pl.BlockSpec((1, 1, so), lambda g, p: (0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        mask_args.append(m3)
+    if jac_mask is not None:
+        jm = np.asarray(jac_mask, np.float32)
+        for k in range(si):
+            m3 = jnp.asarray(jm[k * so:(k + 1) * so])[None, None, :]
+            in_specs.append(
+                pl.BlockSpec((1, 1, so), lambda g, p: (0, 0, 0),
+                             memory_space=pltpu.VMEM))
+            mask_args.append(m3)
+    out_specs = (
+        [pl.BlockSpec((1, 1), lambda g, p: (0, 0), memory_space=pltpu.SMEM),
+         pl.BlockSpec((1, 1), lambda g, p: (0, 0), memory_space=pltpu.SMEM)]
+        + [wspec(w.shape[1:]) for w in ws]
+        + [bspec(b) for b in bs3]
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct((1, 1), jnp.float32),
+         jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs3]
+    )
+
+    n = cfg.units
+    l_mats = n_w - 2
+    chain_flops = 2 * G * P * (1 + si) * (
+        si * n + l_mats * n * n + n * so)
+    kernel = functools.partial(_sobolev_kernel, cfg, variant, n_w, si,
+                               ky, kj,
+                               y_mask is not None, jac_mask is not None)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * chain_flops,
+            bytes_accessed=x.size * x.dtype.itemsize * (2 + si * so),
+            transcendentals=4 * G * P * n * (n_w - 1),
+        ),
+        interpret=interpret,
+    )(*ws, *bs3, x, target.astype(x.dtype), *jt_cols, *mask_args)
+    value_mse = outs[0][0, 0] / n_y
+    jac_mse = outs[1][0, 0] / n_j
+    dws = _unscale_grads(list(outs[2: 2 + n_w]), cfg, variant)
+    dbs = outs[2 + n_w:]
+    flat = [d.reshape(G, -1) for d in dws] + [d.reshape(G, -1) for d in dbs]
+    d_wb = jnp.concatenate(flat, axis=-1).astype(wb.dtype)
+    return value_mse, jac_mse, d_wb

@@ -234,3 +234,206 @@ def test_grouped_hessian_and_sobolev():
         np.asarray(jac_l).reshape(G * P, 1, 2),
         np.asarray(jac_ref)[:, :, 1:], rtol=1e-4, atol=1e-5,
     )
+
+
+def test_fused_fwd_jac_kernel_parity():
+    """The fused forward+JVP Pallas kernel (shapenet_fwd_jac) must
+    reproduce the XLA jacfwd path for every supported chain variant —
+    interpret mode (exact math; Mosaic block rules checked on hardware,
+    see CLAUDE.md)."""
+    from nif_tpu.ops.derivatives import output_and_jacobian_grouped
+    from nif_tpu.ops.pallas_shapenet import (
+        fwd_jac_supported,
+        fwd_jac_unsupported_reason,
+        shapenet_fwd_jac,
+    )
+
+    import nif_tpu
+
+    rng = np.random.default_rng(0)
+    G, P = 2, 256
+
+    cases = [
+        ("siren plain", nif_tpu.NIFMultiScale(
+            {"input_dim": 3, "output_dim": 2, "units": 16, "nlayers": 2,
+             "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+             "connectivity": "full", "weight_init_factor": 0.1},
+            {"input_dim": 2, "latent_dim": 4, "units": 16, "nlayers": 1,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+        ), 3),
+        ("siren resblock", nif_tpu.NIFMultiScale(
+            {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 2,
+             "activation": "sine", "use_resblock": True, "omega_0": 30.0,
+             "connectivity": "full", "weight_init_factor": 0.1},
+            {"input_dim": 1, "latent_dim": 4, "units": 16, "nlayers": 1,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+        ), 2),
+        ("vanilla tanh", nif_tpu.NIF(
+            {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 2,
+             "activation": "tanh"},
+            {"input_dim": 1, "latent_dim": 3, "units": 16, "nlayers": 1,
+             "activation": "swish"},
+        ), 2),
+        # so >= si exercises the forward-mode tangent kernel (the cases
+        # above all pick reverse-mode: so < si)
+        ("siren fwd-mode", nif_tpu.NIFMultiScale(
+            {"input_dim": 2, "output_dim": 3, "units": 16, "nlayers": 2,
+             "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+             "connectivity": "full", "weight_init_factor": 0.1},
+            {"input_dim": 1, "latent_dim": 4, "units": 16, "nlayers": 1,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+        ), 2),
+    ]
+    for name, model, si in cases:
+        params = model.init(jax.random.key(0))
+        pi = model.cfg_parameter_net.input_dim
+        t = jnp.asarray(rng.standard_normal((G, pi)), jnp.float32)
+        x = jnp.asarray(rng.uniform(-1, 1, (G, P, si)), jnp.float32)
+        assert fwd_jac_supported(
+            model.cfg_shape_net, model.shapenet_variant, P, si
+        ), name
+        y0, j0 = output_and_jacobian_grouped(model, params, t, x,
+                                             fused=False)
+        wb = model.p_to_w(params, t)
+        y1, j1 = shapenet_fwd_jac(
+            wb, x, model.cfg_shape_net, model.shapenet_variant,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+        np.testing.assert_allclose(np.asarray(j0), np.asarray(j1),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+    # y_index/x_index subsetting rides the fused output the same way
+    name, model, si = cases[0]
+    params = model.init(jax.random.key(0))
+    t = jnp.asarray(rng.standard_normal((G, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (G, P, si)), jnp.float32)
+    y0, j0 = output_and_jacobian_grouped(
+        model, params, t, x, y_index=1, x_index=[0, 2], fused=False)
+    assert j0.shape == (G, P, 1, 2)
+
+    # unsupported configs report a reason (awkward P -> XLA fallback)
+    reason = fwd_jac_unsupported_reason(
+        model.cfg_shape_net, model.shapenet_variant, 1001, si)
+    assert reason is not None and "point tile" in reason
+
+    # NIF-linear never routes fused (its trunk carries trainable params)
+    from nif_tpu.ops.derivatives import _fwd_jac_fusable
+
+    lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        {"input_dim": 2, "output_dim": 1, "units": 8, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "last_layer", "weight_init_factor": 1.0},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    assert not _fwd_jac_fusable(lin, np.zeros((2, 256, 2), np.float32), None)
+    # forcing fused=True on a supported plain model works even on CPU
+    # (interpret resolves automatically off-TPU)
+    y2, j2 = output_and_jacobian_grouped(model, params, t, x, fused=True)
+    np.testing.assert_allclose(np.asarray(j2), np.asarray(
+        output_and_jacobian_grouped(model, params, t, x, fused=False)[1]),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_fused_sobolev_grads_parity():
+    """sobolev_value_and_grad's fused single-pass kernel (fwd + jac + both
+    MSE terms + backward through the tangent chain) must match
+    jax.value_and_grad over the XLA sobolev_loss_grouped — every variant,
+    index subsetting, term weights, and regularization (interpret mode)."""
+    import pytest
+
+    import nif_tpu
+
+    rng = np.random.default_rng(3)
+    G, P = 2, 256
+
+    def compare(name, model, si, so, y_index=None, x_index=None,
+                w_value=1.0, w_jac=1.0):
+        params = model.init(jax.random.key(1))
+        pi = model.cfg_parameter_net.input_dim
+        t = jnp.asarray(rng.standard_normal((G, pi)), jnp.float32)
+        x = jnp.asarray(rng.uniform(-1, 1, (G, P, si)), jnp.float32)
+        n_y = so if y_index is None else len(np.atleast_1d(y_index))
+        n_x = si if x_index is None else len(np.atleast_1d(x_index))
+        u = jnp.asarray(rng.standard_normal((G, P, so)), jnp.float32)
+        jt = jnp.asarray(
+            rng.standard_normal((G, P, n_y, n_x)), jnp.float32)
+        kw = dict(target_jac=jt, w_value=w_value, w_jac=w_jac,
+                  y_index=y_index, x_index=x_index)
+        tot0, terms0, g0 = model.sobolev_value_and_grad(
+            params, t, x, u, fused=False, **kw)
+        tot1, terms1, g1 = model.sobolev_value_and_grad(
+            params, t, x, u, fused=True, **kw)
+        np.testing.assert_allclose(float(tot0), float(tot1), rtol=2e-4,
+                                   err_msg=name)
+        for k in terms0:
+            np.testing.assert_allclose(
+                float(terms0[k]), float(terms1[k]), rtol=2e-4,
+                err_msg=f"{name}:{k}")
+        flat0 = jax.flatten_util.ravel_pytree(g0)[0]
+        flat1 = jax.flatten_util.ravel_pytree(g1)[0]
+        scale = float(jnp.max(jnp.abs(flat0))) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(flat1) / scale, np.asarray(flat0) / scale,
+            atol=5e-5, err_msg=name)
+
+    siren = nif_tpu.NIFMultiScale(
+        {"input_dim": 3, "output_dim": 2, "units": 16, "nlayers": 2,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 2, "latent_dim": 4, "units": 16, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    compare("siren plain", siren, 3, 2)
+    compare("siren subset", siren, 3, 2, y_index=1, x_index=[0, 2],
+            w_value=0.7, w_jac=2.5)
+
+    resb = nif_tpu.NIFMultiScale(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 2,
+         "activation": "sine", "use_resblock": True, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 4, "units": 16, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    compare("siren resblock", resb, 2, 1)
+
+    vanilla = nif_tpu.NIF(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 2,
+         "activation": "tanh"},
+        {"input_dim": 1, "latent_dim": 3, "units": 16, "nlayers": 1,
+         "activation": "swish"},
+    )
+    compare("vanilla tanh", vanilla, 2, 1)
+
+    # regularization rides both paths identically
+    reg = nif_tpu.NIFMultiScale(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 4, "units": 16, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0,
+         "l2_reg": 1e-3},
+    )
+    compare("siren l2reg", reg, 2, 1)
+
+    # NIF-linear: fused=True refuses (trainable trunk); auto falls back
+    lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        {"input_dim": 2, "output_dim": 1, "units": 8, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "last_layer", "weight_init_factor": 1.0},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    lp = lin.init(jax.random.key(0))
+    lt = jnp.asarray(rng.standard_normal((G, 1)), jnp.float32)
+    lx = jnp.asarray(rng.uniform(-1, 1, (G, P, 2)), jnp.float32)
+    lu = jnp.asarray(rng.standard_normal((G, P, 1)), jnp.float32)
+    ljt = jnp.asarray(rng.standard_normal((G, P, 1, 2)), jnp.float32)
+    with pytest.raises(ValueError, match="trainable"):
+        lin.sobolev_value_and_grad(lp, lt, lx, lu, target_jac=ljt,
+                                   fused=True)
+    tot, terms, grads = lin.sobolev_value_and_grad(
+        lp, lt, lx, lu, target_jac=ljt)
+    assert np.isfinite(float(tot)) and "jacobian_mse" in terms

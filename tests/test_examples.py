@@ -62,6 +62,12 @@ def test_tutorial_8_sobolev():
     assert value_mse < 5.0
 
 
+def test_tutorial_8_sobolev_grouped():
+    mod = _imp("08_sobolev_training")
+    value_mse = mod.main_grouped(epochs=10)
+    assert value_mse < 5.0
+
+
 def test_tutorial_9_data_parallel():
     mod = _imp("09_data_parallel")
     mse = mod.main(epochs=40, batch_size=512)

@@ -246,3 +246,12 @@ def test_tile_picks_pinned():
     # NIF-linear trunk (output_dim = so*K)
     assert _pick_tile_linear(P, mk(128, 2, False, out=128)) == 2048
     assert _pick_tile_linear(P, mk(128, 2, False, out=128), itemsize=4) == 1024
+    # fwd+jac forward-tangent mode (rev mode reuses the backward picks);
+    # f32 charge validated on hardware: w64 so=2/si=1 hit 17.15M scoped
+    # at TP=2048 before the per-stream pad surcharge
+    from nif_tpu.ops.pallas_shapenet import _pick_tile_jac, _pick_tile_sobolev
+    assert _pick_tile_jac(P, mk(128, 2, False), si=3, itemsize=2) == 2048
+    assert _pick_tile_jac(P, mk(64, 2, False), si=1, itemsize=4) == 1024
+    # fused Sobolev train kernel (validated at the 62.9M pts/s run)
+    assert _pick_tile_sobolev(P, mk(128, 2, False), si=3, itemsize=2) == 512
+    assert _pick_tile_sobolev(P, mk(128, 2, False), si=3, itemsize=4) == 256

@@ -230,3 +230,44 @@ def test_shard_model_axis_requires_model_mesh():
                 shard_model_axis=True)
     with pytest.raises(ValueError, match="model"):
         GroupedTrainer(model, optax.adam(1e-3), shard_model_axis=True)
+
+
+def test_tensor_parallel_checkpoint_restore(tmp_path):
+    """TP-sharded state (params + moments over 'model') must round-trip
+    through orbax: restore re-places onto the trainer's TP shardings and
+    training continues (restore templates come from trainer.init)."""
+    import optax
+
+    from nif_tpu.training import Checkpointer, GroupedTrainer
+
+    rng = np.random.default_rng(2)
+    G, Pts = 8, 64
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, Pts, 2)).astype(np.float32)
+    u = rng.standard_normal((G, Pts, 1)).astype(np.float32)
+
+    mesh = make_mesh(axis_names=("data", "model"), mesh_shape=(4, 2))
+    model = _tp_model()
+    tr = GroupedTrainer(model, optax.adam(5e-3), mesh=mesh, seed=0,
+                        shard_model_axis=True)
+    state = tr.init(jax.random.key(0))
+    state = tr.fit(state, t, x, u, epochs=3, group_batch=8, point_batch=64)
+    ckpt_dir = str(tmp_path / "tp_ckpt")
+    ck = Checkpointer(ckpt_dir)
+    ck.save(int(state.step),
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step})
+    ck.wait()
+
+    tr2 = GroupedTrainer(_tp_model(), optax.adam(5e-3), mesh=mesh, seed=0,
+                         shard_model_axis=True)
+    restored = tr2.init_or_restore(jax.random.key(7), ckpt_dir)
+    assert int(restored.step) == int(state.step)
+    head = restored.params["pnet"]["last"]["w"]
+    assert head.sharding.spec and head.sharding.spec[0] == "model"
+    np.testing.assert_allclose(np.asarray(head), np.asarray(
+        state.params["pnet"]["last"]["w"]), rtol=1e-6)
+    # training continues from the restored TP state
+    restored = tr2.fit(restored, t, x, u, epochs=2, group_batch=8,
+                       point_batch=64)
+    assert np.isfinite(tr2.history["loss"][-1])
