@@ -153,6 +153,24 @@ def _fwd_jac_fusable(model, x, fused) -> bool:
     return supported and _on_tpu()
 
 
+def _fwd_jac_linear_fusable(model, x, fused) -> bool:
+    """Route NIF-linear (y, dy/dx) through the fused kernel via its
+    effective generated chain (bottleneck + latent contraction are both
+    linear — see NIFMultiScaleLastLayerParameterized._fwd_jac_effective_chain)."""
+    from .pallas_shapenet import fwd_jac_supported
+
+    if fused is False or not hasattr(model, "_fwd_jac_effective_chain"):
+        return False
+    supported = fwd_jac_supported(
+        model._fwd_jac_cfg, "siren", x.shape[1], x.shape[2]
+    )
+    if fused is True:
+        return supported
+    from ..models.nif import _on_tpu
+
+    return supported and _on_tpu()
+
+
 def output_and_jacobian_grouped(
     model,
     params,
@@ -185,11 +203,10 @@ def output_and_jacobian_grouped(
     Returns:
       ``y [G, P, so]`` and ``jac [G, P, |y_index|, |x_index|]``.
     """
-    wb = model.p_to_w(params, t)  # [G, po] — hypernet runs once per group
-
     if _fwd_jac_fusable(model, x, fused):
         from .pallas_shapenet import shapenet_fwd_jac
 
+        wb = model.p_to_w(params, t)  # hypernet runs once per group
         # the XLA path casts to the compute dtype inside x_to_u_given_w;
         # the kernel must see the same dtype (f32 x under a bf16 policy
         # silently ran the whole kernel at f32: exact trig + 6-pass
@@ -198,7 +215,16 @@ def output_and_jacobian_grouped(
             wb, model.policy.cast_to_compute(x),
             model.cfg_shape_net, model.shapenet_variant,
         )
+    elif _fwd_jac_linear_fusable(model, x, fused):
+        from .pallas_shapenet import shapenet_fwd_jac
+
+        wb_eff, cfg_eff = model._fwd_jac_effective_chain(params, t)
+        y, jac = shapenet_fwd_jac(
+            wb_eff, model.policy.cast_to_compute(x), cfg_eff, "siren"
+        )
     else:
+        wb = model.p_to_w(params, t)  # hypernet runs once per group
+
         def single(wb_g, row):
             f = _grouped_point_fn(model, params, wb_g)
             return f(row), jax.jacfwd(f)(row)

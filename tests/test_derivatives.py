@@ -318,17 +318,27 @@ def test_fused_fwd_jac_kernel_parity():
         model.cfg_shape_net, model.shapenet_variant, 1001, si)
     assert reason is not None and "point tile" in reason
 
-    # NIF-linear never routes fused (its trunk carries trainable params)
+    # NIF-linear routes through its EFFECTIVE chain (bottleneck + latent
+    # contraction fold into a per-group last layer), not the plain route
     from nif_tpu.ops.derivatives import _fwd_jac_fusable
 
     lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
-        {"input_dim": 2, "output_dim": 1, "units": 8, "nlayers": 1,
-         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
+         "activation": "sine", "use_resblock": True, "omega_0": 30.0,
          "connectivity": "last_layer", "weight_init_factor": 1.0},
         {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
          "activation": "swish", "use_resblock": False, "omega_0": 30.0},
     )
     assert not _fwd_jac_fusable(lin, np.zeros((2, 256, 2), np.float32), None)
+    lparams = lin.init(jax.random.key(2))
+    lt = jnp.asarray(rng.standard_normal((G, 1)), jnp.float32)
+    lx = jnp.asarray(rng.uniform(-1, 1, (G, P, 2)), jnp.float32)
+    ly0, lj0 = output_and_jacobian_grouped(lin, lparams, lt, lx, fused=False)
+    ly1, lj1 = output_and_jacobian_grouped(lin, lparams, lt, lx, fused=True)
+    np.testing.assert_allclose(np.asarray(ly0), np.asarray(ly1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lj0), np.asarray(lj1),
+                               rtol=1e-4, atol=1e-4)
     # forcing fused=True on a supported plain model works even on CPU
     # (interpret resolves automatically off-TPU)
     y2, j2 = output_and_jacobian_grouped(model, params, t, x, fused=True)
@@ -418,9 +428,11 @@ def test_fused_sobolev_grads_parity():
     )
     compare("siren l2reg", reg, 2, 1)
 
-    # NIF-linear: fused=True refuses (trainable trunk); auto falls back
+    # NIF-linear: the fused path trains trunk AND pnet via jax.vjp through
+    # the effective generated chain (bottleneck + contraction fold into a
+    # per-group last layer)
     lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
-        {"input_dim": 2, "output_dim": 1, "units": 8, "nlayers": 1,
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
          "activation": "sine", "use_resblock": False, "omega_0": 30.0,
          "connectivity": "last_layer", "weight_init_factor": 1.0},
         {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
@@ -431,9 +443,13 @@ def test_fused_sobolev_grads_parity():
     lx = jnp.asarray(rng.uniform(-1, 1, (G, P, 2)), jnp.float32)
     lu = jnp.asarray(rng.standard_normal((G, P, 1)), jnp.float32)
     ljt = jnp.asarray(rng.standard_normal((G, P, 1, 2)), jnp.float32)
-    with pytest.raises(ValueError, match="trainable"):
-        lin.sobolev_value_and_grad(lp, lt, lx, lu, target_jac=ljt,
-                                   fused=True)
-    tot, terms, grads = lin.sobolev_value_and_grad(
-        lp, lt, lx, lu, target_jac=ljt)
-    assert np.isfinite(float(tot)) and "jacobian_mse" in terms
+    lt0, lterms0, lg0 = lin.sobolev_value_and_grad(
+        lp, lt, lx, lu, target_jac=ljt, fused=False)
+    lt1, lterms1, lg1 = lin.sobolev_value_and_grad(
+        lp, lt, lx, lu, target_jac=ljt, fused=True)
+    np.testing.assert_allclose(float(lt0), float(lt1), rtol=2e-4)
+    lf0 = jax.flatten_util.ravel_pytree(lg0)[0]
+    lf1 = jax.flatten_util.ravel_pytree(lg1)[0]
+    lscale = float(jnp.max(jnp.abs(lf0))) + 1e-8
+    np.testing.assert_allclose(np.asarray(lf1) / lscale,
+                               np.asarray(lf0) / lscale, atol=5e-5)
