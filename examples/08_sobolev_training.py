@@ -130,14 +130,61 @@ def main_grouped(epochs=1000, w_jac=0.1, seed=0, n_xg=128):
     return float(terms["value_mse"])
 
 
+def main_trainer(epochs=1000, w_jac=0.1, seed=0, n_xg=128):
+    """The product path: ``GroupedTrainer`` in Sobolev mode.
+
+    Identical objective to :func:`main_grouped`, but the loop is the
+    trainer's — pass ``target_jac`` to ``fit_resident`` and every
+    scan-chained device step trains value + jacobian MSE (the fused
+    Pallas core on TPU), with padded tails, meshes, and checkpoints
+    composing like any other grouped run."""
+    from nif_tpu.training import GroupedTrainer
+
+    G = 20
+    tw = TravelingWaveHighFreq(n_x=n_xg, freq=10.0)
+    data = np.asarray(tw.data, np.float32)
+    t = data[::n_xg, 0:1]
+    x = data[:, 1:2].reshape(G, n_xg, 1)
+    u = data[:, 2:3].reshape(G, n_xg, 1)
+    lo = tw.n_p + tw.n_x
+    f = 10.0
+    dudx_raw = 2 * np.pi * f * np.cos(
+        2 * np.pi * f * (tw.data_raw[:, 1] - tw.data_raw[:, 0]))
+    tj = (dudx_raw * tw.std[1] / tw.std[lo]).reshape(
+        G, n_xg, 1, 1).astype(np.float32)
+
+    cfg_s = {
+        "connectivity": "full", "input_dim": 1, "output_dim": 1, "units": 30,
+        "nlayers": 2, "weight_init_factor": 0.01, "omega_0": 30.0,
+        "activation": "sine", "use_resblock": False,
+    }
+    cfg_p = {"input_dim": 1, "latent_dim": 1, "units": 30, "nlayers": 2,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0}
+    model = nif_tpu.NIFMultiScale(cfg_s, cfg_p)
+    trainer = GroupedTrainer(model, optax.adam(1e-4), w_jac=w_jac,
+                             seed=seed)
+    state = trainer.init(jax.random.key(seed))
+    state = trainer.fit_resident(state, t, x, u, target_jac=tj,
+                                 epochs=epochs, group_batch=G,
+                                 point_batch=n_xg,
+                                 verbose_every=max(epochs // 10, 1))
+    print(f"path={trainer.history['path']}  "
+          f"final loss {trainer.history['loss'][-1]:.3e}")
+    return trainer.history["loss"][-1]
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=1000)
     ap.add_argument("--w-jac", type=float, default=0.1)
     ap.add_argument("--grouped", action="store_true",
                     help="grouped layout + fused Sobolev train core")
+    ap.add_argument("--trainer", action="store_true",
+                    help="GroupedTrainer Sobolev mode (target_jac)")
     args = ap.parse_args()
-    if args.grouped:
+    if args.trainer:
+        main_trainer(args.epochs, args.w_jac)
+    elif args.grouped:
         main_grouped(args.epochs, args.w_jac)
     else:
         main(args.epochs, args.w_jac)

@@ -220,9 +220,17 @@ def _train_grouped(args):
         group_batch += (-group_batch) % batch_axis_size(mesh)
     P = int(ds.meta["points_per_group"])
     point_batch = min(args.point_batch or P, P)
+    sobolev = getattr(args, "sobolev", False)
+    if sobolev and not ds.meta.get("sobolev"):
+        raise SystemExit(
+            "--sobolev: this grouped dataset has no Jacobian targets — "
+            "create it with GroupedDataset.create_from_arrays(..., "
+            "target_jac=...)"
+        )
 
     trainer = GroupedTrainer(model, get_optimizer(args.optimizer, args.lr),
-                             mesh=mesh, seed=args.seed)
+                             mesh=mesh, seed=args.seed,
+                             w_jac=getattr(args, "w_jac", 1.0))
     if args.ckpt_dir:
         state = trainer.init_or_restore(jax.random.key(args.seed), args.ckpt_dir)
         if state.step:
@@ -241,10 +249,12 @@ def _train_grouped(args):
     def host_batches():
         """Dim-check + exact tail padding on host, ready for transfer."""
         checked = False
-        for epoch, bt, bx, bu, bw in ds.iter_batches(
+        for batch in ds.iter_batches(
             group_batch=group_batch, point_batch=point_batch,
-            epochs=args.epochs, seed=args.seed,
+            epochs=args.epochs, seed=args.seed, with_jac=sobolev,
         ):
+            epoch, bt, bx, bu, bw = batch[:5]
+            bju = batch[5] if sobolev else None
             if not checked:
                 pi = cfg.parameter_net.input_dim
                 si, so = cfg.shape_net.input_dim, cfg.shape_net.output_dim
@@ -260,8 +270,11 @@ def _train_grouped(args):
             if b < group_batch or bw is not None:
                 # exact zero-weight padding: tail batches keep one
                 # executable shape and train every group (trainer.pad_batch)
-                (bt, bx, bu), w_rows = pad_batch((bt, bx, bu), None, b,
-                                                 group_batch)
+                arrs = (bt, bx, bu) + (() if bju is None else (bju,))
+                arrs, w_rows = pad_batch(arrs, None, b, group_batch)
+                bt, bx, bu = arrs[:3]
+                if bju is not None:
+                    bju = arrs[3]
                 pb = bx.shape[1]
                 bw = (np.broadcast_to(w_rows[:, None], (group_batch, pb))
                       if bw is None
@@ -271,14 +284,14 @@ def _train_grouped(args):
                 bw = np.ascontiguousarray(bw, np.float32)
                 if use_reg:
                     rw = reg_row_weights(b, group_batch)
-            yield epoch, bt, bx, bu, bw, rw
+            yield epoch, bt, bx, bu, bw, rw, bju
 
     # double-buffer: the NEXT batch transfers to device while the current
     # step runs — a streaming loop that hands trainer.step host arrays
     # serializes copy and compute instead
     from nif_tpu.data import prefetch_to_device
 
-    for epoch, bt, bx, bu, bw, rw in prefetch_to_device(
+    for epoch, bt, bx, bu, bw, rw, bju in prefetch_to_device(
         host_batches(), mesh=mesh
     ):
         if epoch != cur_epoch and cur_epoch >= 0:
@@ -286,7 +299,8 @@ def _train_grouped(args):
             if ckpt_cb is not None:
                 ckpt_cb.on_epoch_end(trainer, state, cur_epoch, {})
         cur_epoch = epoch
-        state, loss = trainer.step(state, bt, bx, bu, bw, rw)
+        state, loss = trainer.step(state, bt, bx, bu, bw, rw,
+                                   target_jac=bju)
         last_loss = loss
     last_loss = float(last_loss)
     print(f"epoch {cur_epoch:5d}  loss {last_loss:.6e}")
@@ -320,6 +334,12 @@ def _cmd_train(args):
     layout = _resolve_layout(args)
     if layout == "grouped":
         return _train_grouped(args)
+    if getattr(args, "sobolev", False):
+        raise SystemExit(
+            "--sobolev needs the grouped layout: create the dataset with "
+            "GroupedDataset.create_from_arrays(..., target_jac=...) and "
+            "pass its directory (--layout grouped)"
+        )
     if os.path.isdir(args.data):
         return _train_streaming(args)
     model, cfg = _build_model(args)
@@ -507,6 +527,11 @@ def main(argv=None):
                     help="groups per step (grouped layout)")
     tp.add_argument("--point-batch", type=int, default=4096,
                     help="point subsample per group per step (grouped layout)")
+    tp.add_argument("--sobolev", action="store_true",
+                    help="train on Jacobian targets too (grouped layout; "
+                         "dataset must carry target_jac)")
+    tp.add_argument("--w-jac", type=float, default=1.0,
+                    help="jacobian MSE term weight under --sobolev")
     tp.set_defaults(fn=_cmd_train)
 
     ep = sub.add_parser("eval", parents=[common])

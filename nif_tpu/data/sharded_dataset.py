@@ -251,8 +251,13 @@ class GroupedDataset:
         out_path: str,
         groups_per_file: int = 16,
         weight: Optional[np.ndarray] = None,
+        target_jac: Optional[np.ndarray] = None,
         prefix: str = "snap",
     ) -> None:
+        """``target_jac [G, P, so, si]`` (optional) stores per-point
+        Jacobian targets alongside u — Sobolev training (tutorial-8
+        semantics) as a streaming dataset; consumers opt in with
+        ``iter_batches(with_jac=True)``."""
         os.makedirs(out_path, exist_ok=True)
         G = t.shape[0]
         n_files = int(np.ceil(G / groups_per_file))
@@ -261,12 +266,15 @@ class GroupedDataset:
             payload = {"t": t[sl], "x": x[sl], "u": u[sl]}
             if weight is not None:
                 payload["w"] = weight[sl]
+            if target_jac is not None:
+                payload["ju"] = target_jac[sl]
             np.savez(os.path.join(out_path, f"{prefix}_{i}.npz"), **payload)
         with open(os.path.join(out_path, "meta.json"), "w") as f:
             json.dump(
                 {"n_groups": int(G), "points_per_group": int(x.shape[1]),
                  "groups_per_file": groups_per_file, "n_files": n_files,
-                 "weighted": weight is not None},
+                 "weighted": weight is not None,
+                 "sobolev": target_jac is not None},
                 f,
             )
 
@@ -303,14 +311,25 @@ class GroupedDataset:
         seed: int = 0,
         prefetch: int = 2,
         drop_remainder: bool = False,
+        with_jac: bool = False,
     ):
         """Yield ``(epoch, t, x, u, w)`` with a fresh point subsample per
         batch. Global epoch accounting, background shard prefetch. Tail
         group batches within a shard file are yielded (smaller) unless
         ``drop_remainder=True`` — note a consumer's jitted step recompiles
-        once for the tail shape."""
+        once for the tail shape.
+
+        ``with_jac=True`` (requires a dataset created with ``target_jac``)
+        appends the subsampled Jacobian targets: ``(epoch, t, x, u, w,
+        ju)`` — the streaming form of Sobolev training."""
         if not self.files:
             raise ValueError("no shards opened")
+        if with_jac and not self.meta.get("sobolev"):
+            raise ValueError(
+                "with_jac=True but this dataset has no Jacobian targets — "
+                "create it with GroupedDataset.create_from_arrays("
+                "..., target_jac=...)"
+            )
         # numpy Generators are not thread-safe: the producer thread gets its
         # own spawned stream so concurrent use can't corrupt either.
         prod_rng, rng = np.random.default_rng(seed).spawn(2)
@@ -336,16 +355,20 @@ class GroupedDataset:
             epoch, payload = item
             t, x, u = payload["t"], payload["x"], payload["u"]
             w = payload.get("w")
+            ju = payload.get("ju") if with_jac else None
             g = t.shape[0]
             order = rng.permutation(g)
             end = g - group_batch + 1 if drop_remainder else g
             for s in range(0, max(end, 0), group_batch):
                 gsel = order[s : s + group_batch]
                 psel = rng.choice(P, size=point_batch, replace=False)
-                yield (
+                batch = (
                     epoch,
                     t[gsel],
                     x[gsel][:, psel],
                     u[gsel][:, psel],
                     None if w is None else w[gsel][:, psel],
                 )
+                if with_jac:
+                    batch = batch + (ju[gsel][:, psel],)
+                yield batch

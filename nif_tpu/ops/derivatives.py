@@ -271,19 +271,32 @@ def sobolev_loss_grouped(
     w_hess: float = 1.0,
     y_index: Index = None,
     x_index: Index = None,
+    weight: Optional[jnp.ndarray] = None,
 ):
     """Sobolev training loss on the grouped layout (tutorial 8 semantics,
     scalable to million-point groups).
 
     targets ``[G, P, so]`` (or y_index-selected columns); target_jac
     ``[G, P, |yi|, |xi|]``; target_hess adds the second-order term.
-    Returns ``(total, terms_dict)`` like :func:`sobolev_loss`.
+    ``weight [G, P]`` (optional) multiplies every term's squared error
+    per point under a plain ``mean`` — the trainers' padding convention
+    (zero-weight filler rows, real rows scaled by n_target/n_real) makes
+    padded batches exact. Returns ``(total, terms_dict)`` like
+    :func:`sobolev_loss`.
     """
+    def wmean(sq, extra_dims):
+        if weight is None:
+            return jnp.mean(sq)
+        w = weight.astype(sq.dtype).reshape(
+            weight.shape + (1,) * extra_dims
+        )
+        return jnp.mean(sq * w)
+
     if target_hess is not None:
         y, jac, hess = output_jacobian_hessian_grouped(
             model, params, t, x, y_index, x_index
         )
-        terms = {"hessian_mse": jnp.mean(jnp.square(hess - target_hess))}
+        terms = {"hessian_mse": wmean(jnp.square(hess - target_hess), 3)}
     else:
         # fused=False: the training loss is differentiated w.r.t. params,
         # and the fused fwd+jac kernel is evaluation-only (no VJP rule) —
@@ -308,9 +321,9 @@ def sobolev_loss_grouped(
             f"sobolev_loss_grouped: value targets shape {tshape} does not "
             f"match the output shape {y.shape}"
         )
-    terms["value_mse"] = jnp.mean(jnp.square(y_val - targets))
+    terms["value_mse"] = wmean(jnp.square(y_val - targets), 1)
     if target_jac is not None:
-        terms["jacobian_mse"] = jnp.mean(jnp.square(jac - target_jac))
+        terms["jacobian_mse"] = wmean(jnp.square(jac - target_jac), 2)
     total = w_value * terms["value_mse"]
     if "jacobian_mse" in terms:
         total = total + w_jac * terms["jacobian_mse"]

@@ -1547,9 +1547,9 @@ def sobolev_fused_supported(cfg: ShapeNetConfig, variant: str, P: int,
 
 def _sobolev_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, si: int,
                     ky: float, kj: float, has_my: bool, has_mj: bool,
-                    *refs):
+                    has_w: bool, *refs):
     # in refs:  w_0.., b_0.., x, target, jt_0..jt_{si-1}, (y_mask),
-    #           (jac_mask_0..jac_mask_{si-1})
+    #           (jac_mask_0..jac_mask_{si-1}), (weight)
     # out refs: loss_val [1,1], loss_jac [1,1], dw_0.., db_0..
     # Per-stream jac targets/masks — a single [TP, si*so] operand would
     # need narrow lane slices whose offsets Mosaic's concatenate cannot
@@ -1565,6 +1565,8 @@ def _sobolev_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, si: int,
     ofs += 1 if has_my else 0
     mj_refs = refs[ofs: ofs + si] if has_mj else None
     ofs += si if has_mj else 0
+    w_ref = refs[ofs] if has_w else None
+    ofs += 1 if has_w else 0
     lv_ref = refs[ofs]
     lj_ref = refs[ofs + 1]
     dw_refs = refs[ofs + 2: ofs + 2 + n_w]
@@ -1581,11 +1583,21 @@ def _sobolev_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, si: int,
         if has_mj:
             e = e * mj_refs[k][0][0].astype(jnp.float32)
         err_cols.append(e)
-    lv = jnp.sum(jnp.square(err_y))
-    lj = sum(jnp.sum(jnp.square(e)) for e in err_cols)
-
-    dout = ky * err_y
-    D_out = jnp.concatenate([dout] + [kj * e for e in err_cols], axis=0)
+    if has_w:
+        # per-point weight [TP, 1]: loss terms take w*err^2, cotangents
+        # k*w*err — the masks above are 0/1 so folding them INTO err is
+        # fine, but a general weight must stay outside the square.
+        wgt = w_ref[0].astype(jnp.float32)
+        lv = jnp.sum(jnp.square(err_y) * wgt)
+        lj = sum(jnp.sum(jnp.square(e) * wgt) for e in err_cols)
+        dout = ky * err_y * wgt
+        D_out = jnp.concatenate(
+            [dout] + [kj * e * wgt for e in err_cols], axis=0)
+    else:
+        lv = jnp.sum(jnp.square(err_y))
+        lj = sum(jnp.sum(jnp.square(e)) for e in err_cols)
+        dout = ky * err_y
+        D_out = jnp.concatenate([dout] + [kj * e for e in err_cols], axis=0)
     z0, S_list, Z_list = saved
     dws, dbs = _sobolev_backward_chain(
         D_out, ws, bs, x, z0, S_list, Z_list, cfg, variant, x.dtype)
@@ -1618,21 +1630,25 @@ def shapenet_sobolev_grads(
     w_jac: float = 1.0,
     y_mask=None,
     jac_mask=None,
+    weight: jnp.ndarray = None,
     interpret: bool = None,
 ):
     """Fused Sobolev train step core: ONE pallas_call computing forward +
     Jacobian + both MSE terms + the full backward.
 
-    Loss = ``w_value * mean_sel((y - target)^2)
-           + w_jac * mean_sel((jac - jac_target)^2)`` with means taken over
-    the mask-selected entries (reference y_index/x_index subsetting).
+    Loss = ``w_value * mean_sel(weight * (y - target)^2)
+           + w_jac * mean_sel(weight * (jac - jac_target)^2)`` with means
+    taken over the mask-selected entries (reference y_index/x_index
+    subsetting).
 
     Args:
       wb ``[G, po]``; x ``[G, P, si]``; target ``[G, P, so]`` (zero-filled
       outside ``y_mask``); jac_target ``[G, P, si*so]`` in the kernel's
       flat layout (column ``k*so + j`` = d y_j / d x_k, zero-filled outside
       ``jac_mask``). ``y_mask [so]`` / ``jac_mask [si*so]`` are static 0/1
-      numpy arrays (None = all entries).
+      numpy arrays (None = all entries). ``weight [G, P]`` (optional)
+      multiplies both squared-error terms per point under a plain mean —
+      the trainers' zero-weight padding convention stays exact.
 
     Returns ``(value_mse, jac_mse, d_wb)`` — the caller combines the total
     as ``w_value*value_mse + w_jac*jac_mse``; ``d_wb`` already includes
@@ -1688,6 +1704,13 @@ def shapenet_sobolev_grads(
                 pl.BlockSpec((1, 1, so), lambda g, p: (0, 0, 0),
                              memory_space=pltpu.VMEM))
             mask_args.append(m3)
+    if weight is not None:
+        # [G, P, 1]: a (1, TP) block of a [G, P] array violates Mosaic's
+        # block-shape rule (2nd-minor must divide 8 or equal the dim).
+        in_specs.append(
+            pl.BlockSpec((1, TP, 1), lambda g, p: (g, p, 0),
+                         memory_space=pltpu.VMEM))
+        mask_args.append(weight.astype(x.dtype)[..., None])
     out_specs = (
         [pl.BlockSpec((1, 1), lambda g, p: (0, 0), memory_space=pltpu.SMEM),
          pl.BlockSpec((1, 1), lambda g, p: (0, 0), memory_space=pltpu.SMEM)]
@@ -1707,7 +1730,8 @@ def shapenet_sobolev_grads(
         si * n + l_mats * n * n + n * so)
     kernel = functools.partial(_sobolev_kernel, cfg, variant, n_w, si,
                                ky, kj,
-                               y_mask is not None, jac_mask is not None)
+                               y_mask is not None, jac_mask is not None,
+                               weight is not None)
     outs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -42,7 +42,8 @@ class GroupedTrainer:
     def __init__(self, model, optimizer: optax.GradientTransformation,
                  mesh=None, use_reg: bool = True, seed: int = 0,
                  fused: Optional[bool] = None,
-                 shard_model_axis: bool = False):
+                 shard_model_axis: bool = False,
+                 w_value: float = 1.0, w_jac: float = 1.0):
         """``fused=None`` (auto) uses the single-pass fused train kernel on
         TPU via ``model.mse_value_and_grad`` — forward + loss + backward in
         one pallas_call.
@@ -53,11 +54,20 @@ class GroupedTrainer:
         fused kernel then goes manual over the batch axes ONLY, leaving
         the model axis to GSPMD — the head matmul's partial-sum reduce is
         inserted automatically, and the kernel sees the full weight
-        vector per data shard."""
+        vector per data shard.
+
+        Sobolev training (tutorial-8 semantics — match derivatives, not
+        just values): pass ``target_jac [G, P, so, si]`` to ``fit`` /
+        ``fit_resident`` / ``step`` and the loss becomes
+        ``w_value*value_mse + w_jac*jacobian_mse`` through
+        ``model.sobolev_value_and_grad`` (ONE fused Pallas pass on TPU,
+        reference nif/layers/gradient.py:207-231 at scale)."""
         self.model = model
         self.tx = optimizer
         self.mesh = mesh
         self.use_reg = use_reg
+        self.w_value = w_value
+        self.w_jac = w_jac
         self.shard_model_axis = shard_model_axis
         if shard_model_axis and (mesh is None or "model" not in mesh.axis_names):
             raise ValueError(
@@ -68,12 +78,22 @@ class GroupedTrainer:
         self._rng = np.random.default_rng(seed)
         self.history: Dict[str, List[float]] = {"epoch": [], "loss": []}
 
-        def value_and_grad(params, t, x, u, w, rw):
-            if mesh is None:
+        def local_vag(params, t, x, u, w, rw, ju):
+            if ju is None:
                 return model.mse_value_and_grad(
                     params, t, x, u, weight=w, fused=fused, use_reg=use_reg,
                     reg_weight=rw,
                 )
+            total, _terms, grads = model.sobolev_value_and_grad(
+                params, t, x, u, target_jac=ju, w_value=self.w_value,
+                w_jac=self.w_jac, weight=w, fused=fused, use_reg=use_reg,
+                reg_weight=rw,
+            )
+            return total, grads
+
+        def value_and_grad(params, t, x, u, w, rw, ju=None):
+            if mesh is None:
+                return local_vag(params, t, x, u, w, rw, ju)
             # Pallas kernels are opaque to GSPMD: under a mesh the fused
             # train kernel must run per-shard via shard_map, with the
             # gradient/loss mean over the data axis as explicit pmeans
@@ -90,11 +110,8 @@ class GroupedTrainer:
             axes = batch_axes(mesh)
             batch_spec = P(axes)
 
-            def local(params, t, x, u, w, rw):
-                loss, grads = model.mse_value_and_grad(
-                    params, t, x, u, weight=w, fused=fused, use_reg=use_reg,
-                    reg_weight=rw,
-                )
+            def local(params, t, x, u, w, rw, ju):
+                loss, grads = local_vag(params, t, x, u, w, rw, ju)
                 for ax in axes:
                     loss = jax.lax.pmean(loss, ax)
                     grads = jax.lax.pmean(grads, ax)
@@ -102,14 +119,15 @@ class GroupedTrainer:
 
             # shard_map in_specs can't take None pytrees for absent
             # optionals — pass only the present ones positionally.
-            present = [a for a in (w, rw) if a is not None]
-            flags = (w is not None, rw is not None)
+            present = [a for a in (w, rw, ju) if a is not None]
+            flags = (w is not None, rw is not None, ju is not None)
 
             def fn(p, t_, x_, u_, *opt):
                 it = iter(opt)
                 w_ = next(it) if flags[0] else None
                 rw_ = next(it) if flags[1] else None
-                return local(p, t_, x_, u_, w_, rw_)
+                ju_ = next(it) if flags[2] else None
+                return local(p, t_, x_, u_, w_, rw_, ju_)
 
             in_specs = (P(), batch_spec, batch_spec, batch_spec) + tuple(
                 batch_spec for _ in present
@@ -130,34 +148,43 @@ class GroupedTrainer:
         self._value_and_grad = value_and_grad
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(state: TrainState, t, x, u, w=None, rw=None):
-            loss, grads = value_and_grad(state.params, t, x, u, w, rw)
+        def step(state: TrainState, t, x, u, w=None, rw=None, ju=None):
+            loss, grads = value_and_grad(state.params, t, x, u, w, rw, ju)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, opt_state, state.step + 1), loss
 
         self._step = step
 
-    def _record_path(self, P: int) -> None:
+    def _record_path(self, P: int, si: int = None,
+                     sobolev: bool = False) -> None:
         """Record (once) which compute path P-point group batches take —
         ``history["path"]``/``history["path_reason"]`` — and let the model
         emit its one-time fused/fallback log. Round-2 review: the ~6-8x
-        XLA fallback must be observable from the trainer."""
+        XLA fallback must be observable from the trainer. Sobolev-mode
+        steps consult the Sobolev kernel's own support rule (its tiles
+        differ from the MSE kernel's)."""
         if "path" in self.history:
             return
-        info = self.model.fast_path_info(P)
+        if sobolev:
+            info = self.model.sobolev_path_info(P, si)
+        else:
+            info = self.model.fast_path_info(P)
         self.history["path"] = info["path"]
         if info["reason"]:
             self.history["path_reason"] = info["reason"]
-        self.model._announce_path(P)
+        if not sobolev:
+            self.model._announce_path(P)
 
-    def step(self, state: TrainState, t, x, u, w=None, rw=None):
+    def step(self, state: TrainState, t, x, u, w=None, rw=None,
+             target_jac=None):
         """One jitted training step on a (t, x, u[, w]) group batch —
         for custom loops (e.g. streaming from GroupedDataset). Batches
         already placed on device (``data.prefetch_to_device``) pass
-        through without a host round-trip."""
-        self._record_path(x.shape[1])
-        return self._step(state, *self._put(t, x, u, w, rw))
+        through without a host round-trip. ``target_jac [Gb, Pb, so, si]``
+        switches the step to the Sobolev loss."""
+        self._record_path(x.shape[1], x.shape[2], target_jac is not None)
+        return self._step(state, *self._put(t, x, u, w, rw, target_jac))
 
     def init(self, key) -> TrainState:
         params = self.model.init(key)
@@ -247,6 +274,7 @@ class GroupedTrainer:
         x: np.ndarray,
         u: np.ndarray,
         sample_weight: Optional[np.ndarray] = None,
+        target_jac: Optional[np.ndarray] = None,
         epochs: int = 1,
         group_batch: Optional[int] = None,
         point_batch: Optional[int] = None,
@@ -266,6 +294,10 @@ class GroupedTrainer:
         localized features; cf. NTK-guided implicit neural teaching
         (arXiv:2511.15487). Note this optimizes a residual-reweighted
         objective; final metrics should be evaluated on the full set.
+
+        ``target_jac [G, P, so, si]`` switches every step to the Sobolev
+        loss (``w_value``/``w_jac`` from the constructor); the residual
+        sampling distribution stays value-MSE-based.
         """
         G, P = x.shape[0], x.shape[1]
         group_batch = min(group_batch or G, G)
@@ -281,7 +313,8 @@ class GroupedTrainer:
         if point_sampling not in ("uniform", "residual"):
             raise ValueError(f"unknown point_sampling {point_sampling!r}")
         probs = None
-        self._record_path(point_batch)
+        self._record_path(point_batch, x.shape[2],
+                          target_jac is not None)
 
         for cb in callbacks:
             cb.on_train_begin(self)
@@ -304,6 +337,8 @@ class GroupedTrainer:
                         else sample_weight[gsel][:, psel]
                     )
                     bt, bx, bu = t[gsel], x[gsel][:, psel], u[gsel][:, psel]
+                    bju = (None if target_jac is None
+                           else target_jac[gsel][:, psel])
                 else:
                     # per-group hard-point subsample: [b, point_batch]
                     psel = self._gumbel_topk(probs[gsel], point_batch,
@@ -315,11 +350,16 @@ class GroupedTrainer:
                         else sample_weight[rows, psel]
                     )
                     bt, bx, bu = t[gsel], x[rows, psel], u[rows, psel]
+                    bju = (None if target_jac is None
+                           else target_jac[rows, psel])
                 rw = None
                 if needs_pad:
                     # per-group weights: scale/zero whole rows of [Gb, Pb]
-                    (bt, bx, bu), w_rows = pad_batch((bt, bx, bu), None, b,
-                                                     group_batch)
+                    arrs = (bt, bx, bu) + (() if bju is None else (bju,))
+                    arrs, w_rows = pad_batch(arrs, None, b, group_batch)
+                    bt, bx, bu = arrs[:3]
+                    if bju is not None:
+                        bju = arrs[3]
                     w_full = (
                         np.broadcast_to(w_rows[:, None],
                                         (group_batch, point_batch))
@@ -332,8 +372,8 @@ class GroupedTrainer:
                     w = np.ascontiguousarray(w_full, dtype=np.float32)
                     if self.use_reg:
                         rw = reg_row_weights(b, group_batch)
-                bt, bx, bu, bw, brw = self._put(bt, bx, bu, w, rw)
-                state, loss = self._step(state, bt, bx, bu, bw, brw)
+                bt, bx, bu, bw, brw, bju = self._put(bt, bx, bu, w, rw, bju)
+                state, loss = self._step(state, bt, bx, bu, bw, brw, bju)
                 losses.append(loss)
                 sizes.append(b)
             epoch_loss = (
@@ -422,6 +462,7 @@ class GroupedTrainer:
         x: np.ndarray,
         u: np.ndarray,
         sample_weight: Optional[np.ndarray] = None,
+        target_jac: Optional[np.ndarray] = None,
         epochs: int = 1,
         group_batch: Optional[int] = None,
         point_batch: Optional[int] = None,
@@ -456,12 +497,13 @@ class GroupedTrainer:
             )
         group_batch += (-group_batch) % n_div
         group_batch = min(group_batch, G)
-        self._record_path(point_batch)
+        self._record_path(point_batch, x.shape[2],
+                          target_jac is not None)
 
-        td, xd, ud, wd = self._put(t, x, u, sample_weight)
+        td, xd, ud, wd, jud = self._put(t, x, u, sample_weight, target_jac)
         steps_per_epoch = max(G // group_batch, 1)
 
-        def step_body(state: TrainState, key, td, xd, ud, wd):
+        def step_body(state: TrainState, key, td, xd, ud, wd, jud):
             kg, kp = jax.random.split(key)
             if group_batch < G:
                 gsel = jax.random.permutation(kg, G)[:group_batch]
@@ -469,8 +511,9 @@ class GroupedTrainer:
                 xg = jnp.take(xd, gsel, axis=0)
                 ug = jnp.take(ud, gsel, axis=0)
                 wg = None if wd is None else jnp.take(wd, gsel, axis=0)
+                jg = None if jud is None else jnp.take(jud, gsel, axis=0)
             else:
-                tb, xg, ug, wg = td, xd, ud, wd
+                tb, xg, ug, wg, jg = td, xd, ud, wd, jud
             if point_batch < P:
                 idx = jax.random.randint(
                     kp, (group_batch, point_batch), 0, P
@@ -479,10 +522,13 @@ class GroupedTrainer:
                 ub = jnp.take_along_axis(ug, idx[..., None], axis=1)
                 wb = (None if wg is None
                       else jnp.take_along_axis(wg, idx, axis=1))
+                jb = (None if jg is None
+                      else jnp.take_along_axis(jg, idx[..., None, None],
+                                               axis=1))
             else:
-                xb, ub, wb = xg, ug, wg
+                xb, ub, wb, jb = xg, ug, wg, jg
             loss, grads = self._value_and_grad(
-                state.params, tb, xb, ub, wb, None
+                state.params, tb, xb, ub, wb, None, jb
             )
             updates, opt_state = self.tx.update(
                 grads, state.opt_state, state.params
@@ -492,7 +538,7 @@ class GroupedTrainer:
 
         def get_chunk_fn(n_steps: int):
             key_cache = ("_resident_chunk", group_batch, point_batch,
-                         wd is not None, n_steps)
+                         wd is not None, jud is not None, n_steps)
             fn = getattr(self, "_resident_cache", {}).get(key_cache)
             if fn is None:
                 # Steps are scan-chained ON DEVICE: dispatching one jitted
@@ -503,11 +549,17 @@ class GroupedTrainer:
                 # epochs; per-step keys are folded from the root inside the
                 # scan, so the sampled batches are IDENTICAL to the
                 # step-at-a-time schedule.
+                has_w, has_j = wd is not None, jud is not None
+
                 @functools.partial(jax.jit, donate_argnums=(0,))
-                def fn(state: TrainState, root, start, td, xd, ud, wd=None):
+                def fn(state: TrainState, root, start, td, xd, ud, *opt):
+                    it = iter(opt)
+                    wd_ = next(it) if has_w else None
+                    jud_ = next(it) if has_j else None
+
                     def body(c, i):
                         return step_body(c, jax.random.fold_in(root, i),
-                                         td, xd, ud, wd)
+                                         td, xd, ud, wd_, jud_)
                     return jax.lax.scan(
                         body, state, start + jnp.arange(n_steps)
                     )
@@ -537,8 +589,8 @@ class GroupedTrainer:
                     n_ep = nv - epoch + 1
             t0 = time.perf_counter()
             run = get_chunk_fn(n_ep * steps_per_epoch)
-            args = (state, root, step_i, td, xd, ud) + (
-                (wd,) if wd is not None else ()
+            args = (state, root, step_i, td, xd, ud) + tuple(
+                a for a in (wd, jud) if a is not None
             )
             state, losses = run(*args)
             losses = np.asarray(
@@ -592,3 +644,68 @@ class GroupedTrainer:
                                          group_batch)
         sse, sst, n_el = global_sums(sse, sst, n_el)
         return metrics_from_sums(sse, sst, n_el)
+
+    def evaluate_sobolev(self, state: TrainState, t, x, u, target_jac,
+                         sample_weight=None,
+                         group_batch: Optional[int] = None) -> Dict[str, float]:
+        """Global ``{"value_mse", "jacobian_mse", "total"}`` on the full
+        grouped dataset — the per-term monitoring the reference surfaces
+        as Keras metrics in Sobolev training (nif/layers/gradient.py use
+        in tutorial 8). Evaluated in fixed-size group chunks through the
+        fused (y, dy/dx) kernel on TPU; ``total`` combines the terms with
+        the trainer's ``w_value``/``w_jac``. Multi-host collective like
+        :meth:`evaluate` (partial sums allgather-reduced)."""
+        from .evaluation import global_sums
+
+        t, x = np.asarray(t), np.asarray(x)
+        u, ju = np.asarray(u), np.asarray(target_jac)
+        G, P = x.shape[0], x.shape[1]
+        gb = min(group_batch or G, G)
+        if self.mesh is not None:
+            from ..parallel import batch_axis_size
+
+            gb += (-gb) % batch_axis_size(self.mesh)
+
+        chunk = getattr(self, "_sobolev_eval_chunk", None)
+        if chunk is None:
+            from ..ops.derivatives import output_and_jacobian_grouped
+
+            @jax.jit
+            def chunk(params, tc, xc, uc, jc, w):
+                y, jac = output_and_jacobian_grouped(
+                    self.model, params, tc, xc)
+                ey = jnp.square(y.astype(jnp.float32)
+                                - uc.astype(jnp.float32))
+                ej = jnp.square(jac.astype(jnp.float32)
+                                - jc.astype(jnp.float32))
+                w32 = w.astype(jnp.float32)
+                return (jnp.sum(ey * w32[..., None]),
+                        jnp.sum(ej * w32[..., None, None]))
+
+            self._sobolev_eval_chunk = chunk
+
+        se_y = se_j = 0.0
+        for s in range(0, G, gb):
+            sl = slice(s, min(s + gb, G))
+            bt, bx, bu, bj = t[sl], x[sl], u[sl], ju[sl]
+            b = bt.shape[0]
+            w = (np.ones((b, P), np.float32) if sample_weight is None
+                 else np.asarray(sample_weight[sl], np.float32))
+            if b < gb:  # zero-weight pad keeps one executable shape
+                pad = gb - b
+                rep = lambda a: np.concatenate(
+                    [a, np.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+                bt, bx, bu, bj = rep(bt), rep(bx), rep(bu), rep(bj)
+                w = np.concatenate([w, np.zeros((pad, P), np.float32)])
+            if self.mesh is not None:
+                bt, bx, bu, bj, w = self._put(bt, bx, bu, bj, w)
+            cy, cj = chunk(state.params, bt, bx, bu, bj, w)
+            se_y += float(cy)
+            se_j += float(cj)
+        n_y = float(G * P * u.shape[-1])
+        n_j = float(G * P * ju.shape[-2] * ju.shape[-1])
+        se_y, se_j, n_y, n_j = global_sums(se_y, se_j, n_y, n_j)
+        value_mse = se_y / max(n_y, 1.0)
+        jac_mse = se_j / max(n_j, 1.0)
+        return {"value_mse": value_mse, "jacobian_mse": jac_mse,
+                "total": self.w_value * value_mse + self.w_jac * jac_mse}

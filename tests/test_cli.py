@@ -281,3 +281,37 @@ def test_cli_streaming_data_parallel(workdir):
         "--data-parallel",
     ])
     assert np.isfinite(loss)
+
+
+def test_cli_grouped_sobolev_train(grouped_workdir, tmp_path):
+    """--sobolev streams Jacobian targets from the GroupedDataset through
+    GroupedTrainer's Sobolev mode (tail batch pads target_jac too)."""
+    from nif_tpu.data import GroupedDataset
+
+    wd = grouped_workdir
+    rng = np.random.default_rng(1)
+    G, P = 10, 64
+    t = np.linspace(0, 1, G, dtype=np.float32)[:, None]
+    x = rng.uniform(-1, 1, (G, P, 1)).astype(np.float32)
+    phase = 2 * np.pi * (x[..., 0] - t)
+    u = np.sin(phase).astype(np.float32)[..., None]
+    ju = (2 * np.pi * np.cos(phase)).astype(np.float32)[..., None, None]
+    snap_dir = str(wd / "snaps_sob")
+    GroupedDataset.create_from_arrays(t, x, u, snap_dir, groups_per_file=4,
+                                      target_jac=ju)
+    loss = cli_main([
+        "train", "--config", str(wd / "config.json"),
+        "--data", snap_dir, "--model", "multiscale",
+        "--epochs", "8", "--lr", "2e-3",
+        "--group-batch", "4", "--point-batch", "64",
+        "--sobolev", "--w-jac", "0.1",
+    ])
+    assert np.isfinite(loss)
+
+    # a dataset without targets refuses --sobolev with a clear message
+    with pytest.raises(SystemExit, match="no Jacobian targets"):
+        cli_main([
+            "train", "--config", str(wd / "config.json"),
+            "--data", str(wd / "snaps"), "--model", "multiscale",
+            "--epochs", "1", "--group-batch", "4", "--sobolev",
+        ])

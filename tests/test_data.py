@@ -385,3 +385,40 @@ def test_prefetch_to_device_matches_direct_iteration(tmp_path):
     state = tr.init(jax.random.key(0))
     state, loss = tr.step(state, bt, bx, bu)
     assert np.isfinite(float(loss))
+
+
+def test_grouped_dataset_jac_targets(tmp_path):
+    """Sobolev streaming: target_jac round-trips through shards; batches
+    subsample ju with the same group/point selection as x/u."""
+    from nif_tpu.data import GroupedDataset
+
+    rng = np.random.default_rng(0)
+    G, P = 6, 32
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 2)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    # ju encodes (group, point) identity so subsample alignment is provable
+    ju = np.zeros((G, P, 1, 2), np.float32)
+    ju[..., 0, 0] = np.arange(G)[:, None]
+    ju[..., 0, 1] = np.arange(P)[None, :]
+    path = str(tmp_path / "sob")
+    GroupedDataset.create_from_arrays(t, x, u, path, groups_per_file=2,
+                                      target_jac=ju)
+    ds = GroupedDataset(path)
+    assert ds.meta["sobolev"] is True
+    for _, bt, bx, bu, _w, bju in ds.iter_batches(
+            group_batch=2, point_batch=8, epochs=1, with_jac=True):
+        assert bju.shape == (2, 8, 1, 2)
+        g_ids = bju[:, 0, 0, 0].astype(int)
+        p_ids = bju[0, :, 0, 1].astype(int)
+        np.testing.assert_array_equal(bx[:, 0], x[g_ids][:, p_ids][:, 0])
+        np.testing.assert_array_equal(bu[:, :], u[g_ids][:, p_ids])
+
+    # 5-tuple unchanged without opt-in; with_jac on a plain dataset raises
+    batch = next(iter(ds.iter_batches(group_batch=2, point_batch=8)))
+    assert len(batch) == 5
+    plain = str(tmp_path / "plain")
+    GroupedDataset.create_from_arrays(t, x, u, plain, groups_per_file=2)
+    with pytest.raises(ValueError, match="no Jacobian targets"):
+        next(iter(GroupedDataset(plain).iter_batches(
+            group_batch=2, with_jac=True)))

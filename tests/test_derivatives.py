@@ -453,3 +453,55 @@ def test_fused_sobolev_grads_parity():
     lscale = float(jnp.max(jnp.abs(lf0))) + 1e-8
     np.testing.assert_allclose(np.asarray(lf1) / lscale,
                                np.asarray(lf0) / lscale, atol=5e-5)
+
+
+def test_fused_sobolev_weight_parity():
+    """Per-point weights (the trainers' padding convention) through the
+    fused Sobolev kernel: both loss terms and every gradient match the
+    weighted XLA path (interpret mode on CPU)."""
+    import nif_tpu
+
+    rng = np.random.default_rng(11)
+    G, P, si, so = 2, 256, 3, 2
+    model = nif_tpu.NIFMultiScale(
+        {"input_dim": si, "output_dim": so, "units": 16, "nlayers": 2,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 2, "latent_dim": 4, "units": 16, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    params = model.init(jax.random.key(1))
+    t = jnp.asarray(rng.standard_normal((G, 2)), jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (G, P, si)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((G, P, so)), jnp.float32)
+    jt = jnp.asarray(rng.standard_normal((G, P, so, si)), jnp.float32)
+    # zero rows exercise the padding convention exactly
+    w = rng.uniform(0.5, 1.5, (G, P)).astype(np.float32)
+    w[0, -32:] = 0.0
+    w = jnp.asarray(w)
+    kw = dict(target_jac=jt, w_value=0.7, w_jac=2.5, weight=w)
+    tot0, terms0, g0 = model.sobolev_value_and_grad(
+        params, t, x, u, fused=False, **kw)
+    tot1, terms1, g1 = model.sobolev_value_and_grad(
+        params, t, x, u, fused=True, **kw)
+    np.testing.assert_allclose(float(tot0), float(tot1), rtol=2e-4)
+    for k in terms0:
+        np.testing.assert_allclose(float(terms0[k]), float(terms1[k]),
+                                   rtol=2e-4, err_msg=k)
+    f0 = jax.flatten_util.ravel_pytree(g0)[0]
+    f1 = jax.flatten_util.ravel_pytree(g1)[0]
+    scale = float(jnp.max(jnp.abs(f0))) + 1e-8
+    np.testing.assert_allclose(np.asarray(f1) / scale,
+                               np.asarray(f0) / scale, atol=5e-5)
+
+    # weighted + zero-padded rows equal the unpadded smaller problem:
+    # real rows scaled P/(P-pad) reproduces the plain mean over real rows
+    pad = 32
+    w2 = np.zeros((G, P), np.float32)
+    w2[:, : P - pad] = P / (P - pad)
+    tot_pad, terms_pad, _ = model.sobolev_value_and_grad(
+        params, t, x, u, target_jac=jt, weight=jnp.asarray(w2), fused=True)
+    tot_ref, terms_ref, _ = model.sobolev_value_and_grad(
+        params, t, x[:, : P - pad], u[:, : P - pad],
+        target_jac=jt[:, : P - pad], fused=False)
+    np.testing.assert_allclose(float(tot_pad), float(tot_ref), rtol=2e-4)

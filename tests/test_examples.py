@@ -68,6 +68,12 @@ def test_tutorial_8_sobolev_grouped():
     assert value_mse < 5.0
 
 
+def test_tutorial_8_sobolev_trainer():
+    mod = _imp("08_sobolev_training")
+    loss = mod.main_trainer(epochs=10)
+    assert np.isfinite(loss)
+
+
 def test_tutorial_9_data_parallel():
     mod = _imp("09_data_parallel")
     mse = mod.main(epochs=40, batch_size=512)

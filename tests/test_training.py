@@ -803,3 +803,130 @@ def test_grouped_validation_logging():
     assert len(tr.history["val_loss"]) == 2
     assert tr.history["val_epoch"] == [0, 2]
     assert all(np.isfinite(v) for v in tr.history["val_loss"])
+
+
+def _sobolev_model():
+    return nif_tpu.NIFMultiScale(
+        {"input_dim": 1, "output_dim": 1, "units": 8, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 5.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "tanh", "use_resblock": False, "omega_0": 5.0},
+    )
+
+
+def _sobolev_data(G=5, P=32, seed=0):
+    rng = np.random.default_rng(seed)
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 1)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    ju = rng.standard_normal((G, P, 1, 1)).astype(np.float32)
+    return t, x, u, ju
+
+
+def test_grouped_sobolev_trainer_decreases_loss():
+    """GroupedTrainer with target_jac trains the tutorial-8 Sobolev loss
+    (value + jacobian MSE) and records the Sobolev path choice."""
+    model = _sobolev_model()
+    rng = np.random.default_rng(1)
+    G, P = 8, 64
+    t = np.linspace(-1, 1, G).reshape(G, 1).astype(np.float32)
+    x = rng.uniform(-1, 1, (G, P, 1)).astype(np.float32)
+    u = np.sin(2.0 * x[..., 0] + t)[..., None].astype(np.float32)
+    ju = (2.0 * np.cos(2.0 * x[..., 0] + t))[..., None, None].astype(
+        np.float32)
+    trainer = GroupedTrainer(model, optax.adam(2e-3), w_jac=0.1)
+    state = trainer.init(jax.random.key(0))
+    state = trainer.fit(state, t, x, u, target_jac=ju, epochs=60,
+                        group_batch=G, point_batch=P)
+    assert trainer.history["loss"][-1] < trainer.history["loss"][0] * 0.7
+    assert trainer.history["path"] in ("fused", "xla")
+
+
+def test_grouped_sobolev_tail_loss_exact():
+    """Padded tail batches in Sobolev mode: the per-point weight threads
+    through BOTH loss terms, so the epoch loss equals the direct full-set
+    Sobolev total (sgd(0.0) keeps params frozen)."""
+    model = _sobolev_model()
+    t, x, u, ju = _sobolev_data()
+    trainer = GroupedTrainer(model, optax.sgd(0.0), w_value=1.0, w_jac=0.3)
+    state = trainer.init(jax.random.key(0))
+    state = trainer.fit(state, t, x, u, target_jac=ju, epochs=1,
+                        group_batch=2, point_batch=x.shape[1])
+    assert state.step == 3  # 2 + 2 + padded tail of 1
+    direct, _terms, _g = model.sobolev_value_and_grad(
+        state.params, t, x, u, target_jac=ju, w_value=1.0, w_jac=0.3)
+    assert trainer.history["loss"][-1] == pytest.approx(float(direct),
+                                                        rel=1e-5)
+
+
+def test_mesh_grouped_sobolev_matches_single_device():
+    """Sobolev training under a data mesh (target_jac sharded through
+    shard_map) matches the single-device loss trajectory."""
+    mesh = make_mesh()
+    model = _sobolev_model()
+    t, x, u, ju = _sobolev_data(G=16, P=40, seed=2)
+
+    tr_mesh = GroupedTrainer(model, optax.adam(1e-3), mesh=mesh,
+                             w_jac=0.2, seed=5)
+    st_m = tr_mesh.init(jax.random.key(0))
+    st_m = tr_mesh.fit(st_m, t, x, u, target_jac=ju, epochs=3,
+                       group_batch=16, point_batch=40)
+
+    tr_one = GroupedTrainer(model, optax.adam(1e-3), w_jac=0.2, seed=5)
+    st_1 = tr_one.init(jax.random.key(0))
+    st_1 = tr_one.fit(st_1, t, x, u, target_jac=ju, epochs=3,
+                      group_batch=16, point_batch=40)
+    np.testing.assert_allclose(tr_mesh.history["loss"],
+                               tr_one.history["loss"], rtol=1e-4, atol=1e-6)
+
+
+def test_fit_resident_sobolev_smoke():
+    """Device-resident (scan-chained) training accepts target_jac: the
+    Sobolev loss runs inside the scanned step with point subsampling."""
+    model = _sobolev_model()
+    t, x, u, ju = _sobolev_data(G=4, P=64, seed=3)
+    trainer = GroupedTrainer(model, optax.adam(2e-3), w_jac=0.1)
+    state = trainer.init(jax.random.key(0))
+    state = trainer.fit_resident(state, t, x, u, target_jac=ju, epochs=6,
+                                 group_batch=4, point_batch=32)
+    assert np.isfinite(trainer.history["loss"][-1])
+    assert trainer.history["path"] in ("fused", "xla")
+
+
+def test_sobolev_path_info_reports_reason_off_tpu():
+    """sobolev_path_info mirrors fast_path_info for the Sobolev kernels:
+    on CPU the path is 'xla' with an explanatory reason."""
+    model = _sobolev_model()
+    info = model.sobolev_path_info(256, 1)
+    assert info["path"] == "xla"
+    assert info["reason"]
+    # plain NIF generates a vanilla chain too; off-TPU it also reports xla
+    plain = nif_tpu.NIF(CFG_S, CFG_P)
+    info2 = plain.sobolev_path_info(256, 1)
+    assert info2["path"] == "xla"
+    assert info2["reason"]
+    # an unsupported P yields a config reason, not the backend one
+    info3 = model.sobolev_path_info(257, 1)
+    assert info3["path"] == "xla"
+    assert "257" in info3["reason"]
+
+
+def test_evaluate_sobolev_matches_loss_terms():
+    """evaluate_sobolev: chunked (padded) global per-term metrics equal
+    the training loss's terms dict on the full set."""
+    model = _sobolev_model()
+    t, x, u, ju = _sobolev_data()
+    trainer = GroupedTrainer(model, optax.adam(1e-3), w_value=1.0,
+                             w_jac=0.3)
+    state = trainer.init(jax.random.key(0))
+    _total, terms, _g = model.sobolev_value_and_grad(
+        state.params, t, x, u, target_jac=ju, w_value=1.0, w_jac=0.3,
+        use_reg=False)
+    m = trainer.evaluate_sobolev(state, t, x, u, ju, group_batch=2)
+    assert m["value_mse"] == pytest.approx(float(terms["value_mse"]),
+                                           rel=1e-5)
+    assert m["jacobian_mse"] == pytest.approx(float(terms["jacobian_mse"]),
+                                              rel=1e-5)
+    assert m["total"] == pytest.approx(
+        m["value_mse"] + 0.3 * m["jacobian_mse"], rel=1e-6)
