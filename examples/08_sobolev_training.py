@@ -79,32 +79,38 @@ def main(epochs=1000, w_jac=0.1, seed=0):
     return float(terms["value_mse"])
 
 
-def main_grouped(epochs=1000, w_jac=0.1, seed=0, n_xg=128):
-    """Grouped-layout Sobolev training: one hypernet eval per snapshot.
+_CFG_S = {
+    "connectivity": "full", "input_dim": 1, "output_dim": 1, "units": 30,
+    "nlayers": 2, "weight_init_factor": 0.01, "omega_0": 30.0,
+    "activation": "sine", "use_resblock": False,
+}
+_CFG_P = {"input_dim": 1, "latent_dim": 1, "units": 30, "nlayers": 2,
+          "activation": "swish", "use_resblock": False, "omega_0": 30.0}
 
-    Uses n_x=128 so the point count per group divides the fused train
-    kernel's tile (pad to a multiple of 256 for large P)."""
-    G = 20
-    tw = TravelingWaveHighFreq(n_x=n_xg, freq=10.0)
+
+def _grouped_problem(n_xg, f=10.0, G=20):
+    """Shared grouped tutorial-8 problem: (t, x, u, target_jac) with the
+    analytic du/dx_norm chained through both normalizations."""
+    tw = TravelingWaveHighFreq(n_x=n_xg, freq=f)
     data = np.asarray(tw.data, np.float32)  # normalized [t, x, u], t-major
     t = data[::n_xg, 0:1]
     x = data[:, 1:2].reshape(G, n_xg, 1)
     u = data[:, 2:3].reshape(G, n_xg, 1)
     lo = tw.n_p + tw.n_x
-    f = 10.0
-    x_raw = tw.data_raw[:, 1]
-    t_raw = tw.data_raw[:, 0]
-    dudx_raw = 2 * np.pi * f * np.cos(2 * np.pi * f * (x_raw - t_raw))
-    dudx_norm = dudx_raw * tw.std[1] / tw.std[lo]
-    tj = dudx_norm.reshape(G, n_xg, 1, 1).astype(np.float32)
+    dudx_raw = 2 * np.pi * f * np.cos(
+        2 * np.pi * f * (tw.data_raw[:, 1] - tw.data_raw[:, 0]))
+    tj = (dudx_raw * tw.std[1] / tw.std[lo]).reshape(
+        G, n_xg, 1, 1).astype(np.float32)
+    return t, x, u, tj
 
-    cfg_s = {
-        "connectivity": "full", "input_dim": 1, "output_dim": 1, "units": 30,
-        "nlayers": 2, "weight_init_factor": 0.01, "omega_0": 30.0,
-        "activation": "sine", "use_resblock": False,
-    }
-    cfg_p = {"input_dim": 1, "latent_dim": 1, "units": 30, "nlayers": 2,
-             "activation": "swish", "use_resblock": False, "omega_0": 30.0}
+
+def main_grouped(epochs=1000, w_jac=0.1, seed=0, n_xg=128):
+    """Grouped-layout Sobolev training: one hypernet eval per snapshot.
+
+    Uses n_x=128 so the point count per group divides the fused train
+    kernel's tile (pad to a multiple of 256 for large P)."""
+    t, x, u, tj = _grouped_problem(n_xg)
+    cfg_s, cfg_p = _CFG_S, _CFG_P
     model = nif_tpu.NIFMultiScale(cfg_s, cfg_p)
     params = model.init(jax.random.key(seed))
     tx = optax.adam(1e-4)
@@ -141,25 +147,8 @@ def main_trainer(epochs=1000, w_jac=0.1, seed=0, n_xg=128):
     from nif_tpu.training import GroupedTrainer
 
     G = 20
-    tw = TravelingWaveHighFreq(n_x=n_xg, freq=10.0)
-    data = np.asarray(tw.data, np.float32)
-    t = data[::n_xg, 0:1]
-    x = data[:, 1:2].reshape(G, n_xg, 1)
-    u = data[:, 2:3].reshape(G, n_xg, 1)
-    lo = tw.n_p + tw.n_x
-    f = 10.0
-    dudx_raw = 2 * np.pi * f * np.cos(
-        2 * np.pi * f * (tw.data_raw[:, 1] - tw.data_raw[:, 0]))
-    tj = (dudx_raw * tw.std[1] / tw.std[lo]).reshape(
-        G, n_xg, 1, 1).astype(np.float32)
-
-    cfg_s = {
-        "connectivity": "full", "input_dim": 1, "output_dim": 1, "units": 30,
-        "nlayers": 2, "weight_init_factor": 0.01, "omega_0": 30.0,
-        "activation": "sine", "use_resblock": False,
-    }
-    cfg_p = {"input_dim": 1, "latent_dim": 1, "units": 30, "nlayers": 2,
-             "activation": "swish", "use_resblock": False, "omega_0": 30.0}
+    t, x, u, tj = _grouped_problem(n_xg, G=G)
+    cfg_s, cfg_p = _CFG_S, _CFG_P
     model = nif_tpu.NIFMultiScale(cfg_s, cfg_p)
     trainer = GroupedTrainer(model, optax.adam(1e-4), w_jac=w_jac,
                              seed=seed)
@@ -168,7 +157,7 @@ def main_trainer(epochs=1000, w_jac=0.1, seed=0, n_xg=128):
                                  epochs=epochs, group_batch=G,
                                  point_batch=n_xg,
                                  verbose_every=max(epochs // 10, 1))
-    print(f"path={trainer.history['path']}  "
+    print(f"path={trainer.history['sobolev_path']}  "
           f"final loss {trainer.history['loss'][-1]:.3e}")
     return trainer.history["loss"][-1]
 

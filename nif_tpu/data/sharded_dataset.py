@@ -341,7 +341,10 @@ class GroupedDataset:
                 for epoch in range(epochs):
                     for fi in prod_rng.permutation(len(self.files)):
                         with np.load(self.files[fi]) as z:
-                            payload = {k: z[k] for k in z.files}
+                            # ju is so*si times the size of u — only pay
+                            # its decompression when the consumer asked
+                            payload = {k: z[k] for k in z.files
+                                       if with_jac or k != "ju"}
                         q.put((epoch, payload))
             finally:
                 q.put(None)

@@ -158,23 +158,25 @@ class GroupedTrainer:
 
     def _record_path(self, P: int, si: int = None,
                      sobolev: bool = False) -> None:
-        """Record (once) which compute path P-point group batches take —
-        ``history["path"]``/``history["path_reason"]`` — and let the model
-        emit its one-time fused/fallback log. Round-2 review: the ~6-8x
-        XLA fallback must be observable from the trainer. Sobolev-mode
-        steps consult the Sobolev kernel's own support rule (its tiles
-        differ from the MSE kernel's)."""
-        if "path" in self.history:
+        """Record (once per mode) which compute path P-point group batches
+        take — ``history["path"]``/``history["path_reason"]`` for MSE
+        steps, ``history["sobolev_path"]``/``..._reason`` for Sobolev
+        steps — and let the model emit its one-time fused/fallback log.
+        Round-2 review: the ~6-8x (MSE) / ~3x (Sobolev) XLA fallback must
+        be observable from the trainer; the two kernels have different
+        support rules, so a mixed-mode trainer records both."""
+        key = "sobolev_path" if sobolev else "path"
+        if key in self.history:
             return
         if sobolev:
             info = self.model.sobolev_path_info(P, si)
+            self.model._announce_sobolev_path(P, si)
         else:
             info = self.model.fast_path_info(P)
-        self.history["path"] = info["path"]
-        if info["reason"]:
-            self.history["path_reason"] = info["reason"]
-        if not sobolev:
             self.model._announce_path(P)
+        self.history[key] = info["path"]
+        if info["reason"]:
+            self.history[key + "_reason"] = info["reason"]
 
     def step(self, state: TrainState, t, x, u, w=None, rw=None,
              target_jac=None):
@@ -537,7 +539,10 @@ class GroupedTrainer:
             return TrainState(params, opt_state, state.step + 1), loss
 
         def get_chunk_fn(n_steps: int):
-            key_cache = ("_resident_chunk", group_batch, point_batch,
+            # G/P belong in the key: step_body closes over them (sampling
+            # bounds), so a same-batch-shape call on a different-sized
+            # dataset must not reuse the compiled chunk.
+            key_cache = ("_resident_chunk", G, P, group_batch, point_batch,
                          wd is not None, jud is not None, n_steps)
             fn = getattr(self, "_resident_cache", {}).get(key_cache)
             if fn is None:
@@ -661,7 +666,11 @@ class GroupedTrainer:
         u, ju = np.asarray(u), np.asarray(target_jac)
         G, P = x.shape[0], x.shape[1]
         gb = min(group_batch or G, G)
-        if self.mesh is not None:
+        # Multi-host: each process evaluates its own stripe host-locally
+        # (no mesh staging — that would make every chunk a collective and
+        # double-count the sums); only the final scalars reduce globally.
+        use_mesh = self.mesh is not None and jax.process_count() == 1
+        if use_mesh:
             from ..parallel import batch_axis_size
 
             gb += (-gb) % batch_axis_size(self.mesh)
@@ -697,7 +706,7 @@ class GroupedTrainer:
                     [a, np.broadcast_to(a[:1], (pad,) + a.shape[1:])])
                 bt, bx, bu, bj = rep(bt), rep(bx), rep(bu), rep(bj)
                 w = np.concatenate([w, np.zeros((pad, P), np.float32)])
-            if self.mesh is not None:
+            if use_mesh:
                 bt, bx, bu, bj, w = self._put(bt, bx, bu, bj, w)
             cy, cj = chunk(state.params, bt, bx, bu, bj, w)
             se_y += float(cy)

@@ -840,7 +840,8 @@ def test_grouped_sobolev_trainer_decreases_loss():
     state = trainer.fit(state, t, x, u, target_jac=ju, epochs=60,
                         group_batch=G, point_batch=P)
     assert trainer.history["loss"][-1] < trainer.history["loss"][0] * 0.7
-    assert trainer.history["path"] in ("fused", "xla")
+    assert trainer.history["sobolev_path"] in ("fused", "xla")
+    assert "path" not in trainer.history  # MSE mode never ran
 
 
 def test_grouped_sobolev_tail_loss_exact():
@@ -891,7 +892,7 @@ def test_fit_resident_sobolev_smoke():
     state = trainer.fit_resident(state, t, x, u, target_jac=ju, epochs=6,
                                  group_batch=4, point_batch=32)
     assert np.isfinite(trainer.history["loss"][-1])
-    assert trainer.history["path"] in ("fused", "xla")
+    assert trainer.history["sobolev_path"] in ("fused", "xla")
 
 
 def test_sobolev_path_info_reports_reason_off_tpu():
