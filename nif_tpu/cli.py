@@ -73,6 +73,14 @@ def _resolve_layout(args) -> str:
                 "nif_tpu.data.GroupedDataset.create_from_arrays); got "
                 f"{args.data!r}"
             )
+        if args.layout == "pointwise" and os.path.isdir(args.data) \
+                and _is_grouped_dir(args.data):
+            raise SystemExit(
+                f"{args.data!r} is a GroupedDataset directory — the "
+                "point-wise layout streams ShardedDataset .npy shard "
+                "directories; drop --layout pointwise (grouped is "
+                "auto-detected) or convert the data"
+            )
         return args.layout
     if os.path.isdir(args.data) and _is_grouped_dir(args.data):
         return "grouped"
@@ -440,7 +448,14 @@ def _cmd_eval(args):
 
         ds = GroupedDataset(args.data)
         P = int(ds.meta["points_per_group"])
-        gb = max(1, 4_000_000 // max(P, 1))
+        # clamp to what a batch can actually hold: iter_batches never
+        # crosses shard files, so gb beyond groups_per_file (or n_groups)
+        # just broadcast-pads every batch up to gb and evaluates the
+        # padding — ~6000x wasted compute on small datasets
+        gb = max(1, min(4_000_000 // max(P, 1),
+                        int(ds.meta["n_groups"]),
+                        int(ds.meta.get("groups_per_file",
+                                        ds.meta["n_groups"]))))
         apply_fn = jax.jit(
             lambda p, t, x: model.apply_grouped(p, t, x)
         )

@@ -193,8 +193,14 @@ class LBFGS:
                 "chunk_size only supports the built-in weighted MSE: a "
                 "custom loss_fn may not decompose into per-row sums"
             )
-        inputs = np.asarray(inputs, np.float32)
-        targets = np.asarray(targets, np.float32)
+        # keep f64 inputs f64 — dtype="float64" minimize must not see
+        # f32-truncated data; everything else normalizes to f32
+        def _to_f(a):
+            a = np.asarray(a)
+            return a if a.dtype == np.float64 else a.astype(np.float32)
+
+        inputs = _to_f(inputs)
+        targets = _to_f(targets)
         n = inputs.shape[0]
         if mesh is not None:
             from ..parallel.mesh import batch_axis_size
@@ -203,7 +209,7 @@ class LBFGS:
             self.chunk_size = chunk_size
         pad = (-n) % chunk_size
         w = (np.ones(n, np.float32) if sample_weight is None
-             else np.asarray(sample_weight, np.float32).reshape(n))
+             else _to_f(sample_weight).reshape(n))
         if pad:
             inputs = np.concatenate(
                 [inputs, np.broadcast_to(inputs[:1], (pad,) + inputs.shape[1:])])

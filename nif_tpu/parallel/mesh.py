@@ -76,6 +76,9 @@ def put_batch(arr, mesh: Mesh, axis=None):
     the global batch dim is ``local_dim * num_processes``.
     """
     sh = batch_sharding(mesh, axis)
+    if not isinstance(arr, (jax.Array, np.ndarray)):
+        # lists/tuples: device_put would treat them as pytrees of scalars
+        arr = np.asarray(arr)
     if jax.process_count() == 1:
         # device_put is a no-op on an already-placed array (and a
         # device-side reshard otherwise) — prefetched batches must not
@@ -232,6 +235,21 @@ def model_axis_specs(params, mesh: Mesh, axis: str = "model"):
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def moment_follows_head(leaf, head_shape, n_model: int) -> bool:
+    """True when ``leaf`` is an optimizer moment of the tensor-parallel
+    hypernetwork head kernel: same 2-D shape and a contracting dim that
+    divides the model axis. The single source of truth for 'which
+    opt-state leaves shard P('model', None)' — both trainers consult it
+    so their placements cannot diverge."""
+    return (
+        head_shape is not None
+        and n_model > 1
+        and getattr(leaf, "ndim", 0) == 2
+        and tuple(leaf.shape) == tuple(head_shape)
+        and leaf.shape[0] % n_model == 0
+    )
 
 
 def put_params_model_parallel(params, mesh: Mesh, axis: str = "model"):

@@ -25,7 +25,7 @@ from typing import Tuple
 import jax
 import numpy as np
 
-__all__ = ["global_sums", "metrics_from_sums"]
+__all__ = ["global_sums", "local_params", "metrics_from_sums"]
 
 
 def global_sums(*partials: float) -> Tuple[float, ...]:
@@ -50,3 +50,20 @@ def metrics_from_sums(sse: float, sst: float, n_el: float) -> dict:
         "mse": sse / max(n_el, 1.0),
         "rel_l2": float(np.sqrt(sse / max(sst, 1e-300))),
     }
+
+
+def local_params(params):
+    """Host-local view of a (possibly multi-host global) params pytree.
+
+    Multi-controller runs hold params as non-fully-addressable global
+    arrays; feeding those into a host-local eval jit alongside per-host
+    numpy batches is an error. Replicated global arrays carry the full
+    value in every shard, so any addressable shard IS the local copy.
+    Single-process (and plain numpy leaves): identity.
+    """
+    def to_local(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            return np.asarray(a.addressable_shards[0].data)
+        return a
+
+    return jax.tree_util.tree_map(to_local, params)

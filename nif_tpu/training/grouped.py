@@ -22,6 +22,7 @@ import numpy as np
 import optax
 
 from ..parallel.mesh import batch_axis_size, put_batch_tuple, put_replicated
+from .evaluation import local_params
 from .trainer import TrainState
 
 __all__ = ["GroupedTrainer"]
@@ -185,6 +186,8 @@ class GroupedTrainer:
         already placed on device (``data.prefetch_to_device``) pass
         through without a host round-trip. ``target_jac [Gb, Pb, so, si]``
         switches the step to the Sobolev loss."""
+        if not hasattr(x, "shape"):  # lists/tuples: coerce once, on host
+            t, x, u = np.asarray(t), np.asarray(x), np.asarray(u)
         self._record_path(x.shape[1], x.shape[2], target_jac is not None)
         return self._step(state, *self._put(t, x, u, w, rw, target_jac))
 
@@ -197,9 +200,17 @@ class GroupedTrainer:
             # host arrays onto them (single-device opt_state next to
             # replicated params would poison the jitted step)
             if self.shard_model_axis:
+                if jax.process_count() > 1:
+                    raise NotImplementedError(
+                        "shard_model_axis is single-controller only; use "
+                        "a data mesh in multi-host runs"
+                    )
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                from ..parallel.mesh import put_params_model_parallel
+                from ..parallel.mesh import (
+                    moment_follows_head,
+                    put_params_model_parallel,
+                )
 
                 params = put_params_model_parallel(params, self.mesh)
                 try:
@@ -209,11 +220,9 @@ class GroupedTrainer:
                 n_model = self.mesh.shape.get("model", 1)
 
                 def place(leaf):
-                    spec = P()
-                    if (head is not None and getattr(leaf, "ndim", 0) == 2
-                            and tuple(leaf.shape) == head
-                            and leaf.shape[0] % n_model == 0):
-                        spec = P("model", None)  # moments follow the kernel
+                    spec = (P("model", None)  # moments follow the kernel
+                            if moment_follows_head(leaf, head, n_model)
+                            else P())
                     return jax.device_put(
                         leaf, NamedSharding(self.mesh, spec)
                     )
@@ -413,6 +422,9 @@ class GroupedTrainer:
         G, P = x.shape[0], x.shape[1]
         gb = min(group_batch or max(1, 4_000_000 // max(P, 1)), G)
         use_mesh = self.mesh is not None and jax.process_count() == 1
+        # multi-controller: host-local jit needs host-local params
+        params = (state.params if use_mesh or self.mesh is None
+                  else local_params(state.params))
         if use_mesh:
             gb += (-gb) % batch_axis_size(self.mesh)
 
@@ -452,7 +464,7 @@ class GroupedTrainer:
                 m = np.concatenate([m, np.zeros((pad, P), np.float32)])
             if use_mesh:
                 bt, bx, bu, w, m = self._put(bt, bx, bu, w, m)
-            cs, ct = chunk_sums(state.params, bt, bx, bu, w, m)
+            cs, ct = chunk_sums(params, bt, bx, bu, w, m)
             sse += float(cs)
             sst += float(ct)
         return sse, sst, float(G * P * u.shape[-1])
@@ -674,6 +686,8 @@ class GroupedTrainer:
             from ..parallel import batch_axis_size
 
             gb += (-gb) % batch_axis_size(self.mesh)
+        params = (state.params if use_mesh or self.mesh is None
+                  else local_params(state.params))
 
         chunk = getattr(self, "_sobolev_eval_chunk", None)
         if chunk is None:
@@ -708,7 +722,7 @@ class GroupedTrainer:
                 w = np.concatenate([w, np.zeros((pad, P), np.float32)])
             if use_mesh:
                 bt, bx, bu, bj, w = self._put(bt, bx, bu, bj, w)
-            cy, cj = chunk(state.params, bt, bx, bu, bj, w)
+            cy, cj = chunk(params, bt, bx, bu, bj, w)
             se_y += float(cy)
             se_j += float(cj)
         n_y = float(G * P * u.shape[-1])

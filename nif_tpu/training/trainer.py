@@ -27,6 +27,7 @@ from ..parallel.mesh import (
     put_batch_tuple,
     put_replicated,
 )
+from .evaluation import local_params
 
 __all__ = ["TrainState", "Trainer", "make_train_step", "pad_batch",
            "reg_row_weights", "restore_or_init_state"]
@@ -245,20 +246,28 @@ class Trainer:
     def _maybe_shard_opt_state(self, opt_state, head_shape=None):
         if self.mesh is None:
             return opt_state
+        if jax.process_count() > 1:
+            # multi-controller: bare device_put with mesh shardings is not
+            # process-safe; replicate through the multi-process path.
+            # ZeRO-1 / TP moment sharding are single-controller features.
+            if self.shard_opt_state or (self.shard_model_axis
+                                        and head_shape is not None):
+                raise NotImplementedError(
+                    "shard_opt_state / shard_model_axis opt-state sharding "
+                    "is single-controller only; use a data mesh in "
+                    "multi-host runs"
+                )
+            return put_replicated(opt_state, self.mesh)
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import moment_follows_head
 
         n_data = self.mesh.shape.get("data", 1)
         n_model = self.mesh.shape.get("model", 1)
 
         def spec_for(leaf):
-            if (
-                self.shard_model_axis
-                and head_shape is not None
-                and n_model > 1
-                and getattr(leaf, "ndim", 0) == 2
-                and tuple(leaf.shape) == head_shape
-                and leaf.shape[0] % n_model == 0
-            ):
+            if self.shard_model_axis and moment_follows_head(
+                    leaf, head_shape, n_model):
                 # head moments follow the tensor-parallel kernel sharding
                 return NamedSharding(self.mesh, P("model", None))
             if (
@@ -387,6 +396,9 @@ class Trainer:
             return 0.0, 0.0, 0.0
         bs = min(batch_size, n)
         use_mesh = self.mesh is not None and jax.process_count() == 1
+        # multi-controller: host-local jit needs host-local params
+        params = (state.params if use_mesh or self.mesh is None
+                  else local_params(state.params))
         if use_mesh:
             bs += (-bs) % batch_axis_size(self.mesh)
 
@@ -427,7 +439,7 @@ class Trainer:
                 bi, bt, bw, bm = self._put_batch(bi, bt, w, m)
             else:
                 bi, bt, bw, bm = (jnp.asarray(a) for a in (bi, bt, w, m))
-            cs, ct = chunk_sums(state.params, bi, bt, bw, bm)
+            cs, ct = chunk_sums(params, bi, bt, bw, bm)
             sse += float(cs)
             sst += float(ct)
         return sse, sst, float(n * targets.shape[-1])

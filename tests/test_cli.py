@@ -315,3 +315,15 @@ def test_cli_grouped_sobolev_train(grouped_workdir, tmp_path):
             "--data", str(wd / "snaps"), "--model", "multiscale",
             "--epochs", "1", "--group-batch", "4", "--sobolev",
         ])
+
+
+def test_cli_pointwise_layout_on_grouped_dir_rejected(grouped_workdir):
+    """Forcing --layout pointwise on a GroupedDataset directory exits with
+    a clear message instead of a KeyError from the shard reader."""
+    wd = grouped_workdir
+    with pytest.raises(SystemExit, match="GroupedDataset directory"):
+        cli_main([
+            "train", "--config", str(wd / "config.json"),
+            "--data", str(wd / "snaps"), "--model", "multiscale",
+            "--epochs", "1", "--layout", "pointwise",
+        ])

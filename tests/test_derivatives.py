@@ -505,3 +505,42 @@ def test_fused_sobolev_weight_parity():
         params, t, x[:, : P - pad], u[:, : P - pad],
         target_jac=jt[:, : P - pad], fused=False)
     np.testing.assert_allclose(float(tot_pad), float(tot_ref), rtol=2e-4)
+
+
+def test_sobolev_fused_true_raises_cleanly_on_unsupported():
+    """Forced fused=True must fail with a clear ValueError (not a
+    TypeError deep in the kernel) when P has no dividing tile, when
+    target_jac is absent, or when target_hess is requested."""
+    import pytest
+
+    import nif_tpu
+
+    model = nif_tpu.NIFMultiScale(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    G = 2
+    t = jnp.asarray(rng.standard_normal((G, 1)), jnp.float32)
+
+    def data(P):
+        x = jnp.asarray(rng.uniform(-1, 1, (G, P, 2)), jnp.float32)
+        u = jnp.asarray(rng.standard_normal((G, P, 1)), jnp.float32)
+        jt = jnp.asarray(rng.standard_normal((G, P, 1, 2)), jnp.float32)
+        return x, u, jt
+
+    x, u, jt = data(1001)  # no dividing tile
+    with pytest.raises(ValueError, match="1001"):
+        model.sobolev_value_and_grad(params, t, x, u, target_jac=jt,
+                                     fused=True)
+    x, u, jt = data(256)
+    with pytest.raises(ValueError, match="target_jac"):
+        model.sobolev_value_and_grad(params, t, x, u, fused=True)
+    with pytest.raises(ValueError, match="target_hess"):
+        model.sobolev_value_and_grad(
+            params, t, x, u, target_jac=jt,
+            target_hess=jnp.zeros((G, 256, 1, 2, 2)), fused=True)

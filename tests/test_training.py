@@ -931,3 +931,29 @@ def test_evaluate_sobolev_matches_loss_terms():
                                               rel=1e-5)
     assert m["total"] == pytest.approx(
         m["value_mse"] + 0.3 * m["jacobian_mse"], rel=1e-6)
+
+
+def test_step_accepts_list_inputs_and_resident_cache_keys_on_dataset_size():
+    """Review fixes: step coerces non-array batches; fit_resident's chunk
+    cache keys on (G, P) so a second different-sized dataset gets its own
+    compiled chunk (the old key reused a closure over the old G)."""
+    model = _sobolev_model()
+    trainer = GroupedTrainer(model, optax.adam(1e-3))
+    state = trainer.init(jax.random.key(0))
+    t = [[0.1], [0.2]]
+    x = [[[0.3]] * 4, [[0.4]] * 4]
+    u = [[[0.5]] * 4, [[0.6]] * 4]
+    state, loss = trainer.step(state, t, x, u)
+    assert np.isfinite(float(loss))
+
+    t1, x1, u1, _ = _sobolev_data(G=4, P=32, seed=0)
+    t2, x2, u2, _ = _sobolev_data(G=8, P=32, seed=1)
+    tr = GroupedTrainer(model, optax.adam(1e-3))
+    st = tr.init(jax.random.key(1))
+    st = tr.fit_resident(st, t1, x1, u1, epochs=2, group_batch=4,
+                         point_batch=32)
+    st = tr.fit_resident(st, t2, x2, u2, epochs=2, group_batch=4,
+                         point_batch=32)
+    keys = list(tr._resident_cache)
+    assert len(keys) == 2 and keys[0][1:3] == (4, 32) \
+        and keys[1][1:3] == (8, 32)
