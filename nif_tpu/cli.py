@@ -456,13 +456,29 @@ def _cmd_eval(args):
                         int(ds.meta["n_groups"]),
                         int(ds.meta.get("groups_per_file",
                                         ds.meta["n_groups"]))))
-        apply_fn = jax.jit(
-            lambda p, t, x: model.apply_grouped(p, t, x)
-        )
+        sobolev = getattr(args, "sobolev", False)
+        if sobolev and not ds.meta.get("sobolev"):
+            raise SystemExit(
+                "--sobolev: this grouped dataset has no Jacobian targets"
+            )
+        if sobolev:
+            from nif_tpu.ops import output_and_jacobian_grouped
+
+            apply_fn = jax.jit(
+                lambda p, t, x: output_and_jacobian_grouped(model, p, t, x)
+            )
+        else:
+            apply_fn = jax.jit(
+                lambda p, t, x: (model.apply_grouped(p, t, x), None)
+            )
         se = st = n_el = 0.0
-        for _, bt, bx, bu, _w in ds.iter_batches(
-            group_batch=gb, point_batch=None, epochs=1, seed=0
+        sj = n_j = 0.0
+        for batch in ds.iter_batches(
+            group_batch=gb, point_batch=None, epochs=1, seed=0,
+            with_jac=sobolev,
         ):
+            _, bt, bx, bu = batch[:4]
+            bju = batch[5] if sobolev else None
             b = bt.shape[0]
             if b < gb:
                 pad = gb - b
@@ -472,15 +488,29 @@ def _cmd_eval(args):
                 bx = np.concatenate(
                     [bx, np.broadcast_to(bx[:1], (pad,) + bx.shape[1:])]
                 )
-            pred = np.asarray(
-                apply_fn(params, jnp.asarray(bt), jnp.asarray(bx))
-            )[:b]
+            pred, jac = apply_fn(params, jnp.asarray(bt), jnp.asarray(bx))
+            pred = np.asarray(pred)[:b]
             d = pred.astype(np.float64) - bu.astype(np.float64)
             se += float(np.sum(d * d))
             st += float(np.sum(bu.astype(np.float64) ** 2))
             n_el += bu.size
+            if bju is not None:
+                dj = (np.asarray(jac)[:b].astype(np.float64)
+                      - bju.astype(np.float64))
+                sj += float(np.sum(dj * dj))
+                n_j += bju.size
         mse = se / max(n_el, 1)
         rl2 = float(np.sqrt(se / max(st, 1e-300)))
+        if sobolev:
+            out = {"mse": mse, "rel_l2": rl2,
+                   "jacobian_mse": sj / max(n_j, 1)}
+            print(json.dumps(out))
+            return mse
+    elif getattr(args, "sobolev", False):
+        raise SystemExit(
+            "--sobolev eval needs a GroupedDataset directory with stored "
+            "Jacobian targets"
+        )
     elif streaming:
         # accumulate the error/target sums shard by shard — same metrics,
         # no full-dataset materialization. ONE jitted executable: tail
@@ -550,6 +580,9 @@ def main(argv=None):
     tp.set_defaults(fn=_cmd_train)
 
     ep = sub.add_parser("eval", parents=[common])
+    ep.add_argument("--sobolev", action="store_true",
+                    help="also report jacobian_mse against the grouped "
+                         "dataset's stored target_jac")
     ep.set_defaults(fn=_cmd_eval)
 
     args = ap.parse_args(argv)

@@ -299,14 +299,31 @@ def test_cli_grouped_sobolev_train(grouped_workdir, tmp_path):
     snap_dir = str(wd / "snaps_sob")
     GroupedDataset.create_from_arrays(t, x, u, snap_dir, groups_per_file=4,
                                       target_jac=ju)
+    ckpt = str(wd / "ckpt_sob")
     loss = cli_main([
         "train", "--config", str(wd / "config.json"),
         "--data", snap_dir, "--model", "multiscale",
         "--epochs", "8", "--lr", "2e-3",
         "--group-batch", "4", "--point-batch", "64",
-        "--sobolev", "--w-jac", "0.1",
+        "--sobolev", "--w-jac", "0.1", "--ckpt-dir", ckpt,
     ])
     assert np.isfinite(loss)
+
+    # eval --sobolev reports the per-term metrics from the stored targets
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        mse = cli_main([
+            "eval", "--config", str(wd / "config.json"),
+            "--data", snap_dir, "--model", "multiscale",
+            "--ckpt-dir", ckpt, "--sobolev",
+        ])
+    parsed = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert np.isfinite(mse)
+    assert {"mse", "rel_l2", "jacobian_mse"} <= set(parsed)
+    assert np.isfinite(parsed["jacobian_mse"])
 
     # a dataset without targets refuses --sobolev with a clear message
     with pytest.raises(SystemExit, match="no Jacobian targets"):
