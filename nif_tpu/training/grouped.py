@@ -677,7 +677,8 @@ class GroupedTrainer:
         t, x = np.asarray(t), np.asarray(x)
         u, ju = np.asarray(u), np.asarray(target_jac)
         G, P = x.shape[0], x.shape[1]
-        gb = min(group_batch or G, G)
+        # same default chunking as _eval_sums: never a full-dataset pass
+        gb = min(group_batch or max(1, 4_000_000 // max(P, 1)), G)
         # Multi-host: each process evaluates its own stripe host-locally
         # (no mesh staging — that would make every chunk a collective and
         # double-count the sums); only the final scalars reduce globally.
