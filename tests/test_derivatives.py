@@ -544,3 +544,53 @@ def test_sobolev_fused_true_raises_cleanly_on_unsupported():
         model.sobolev_value_and_grad(
             params, t, x, u, target_jac=jt,
             target_hess=jnp.zeros((G, 256, 1, 2, 2)), fused=True)
+
+
+def test_fused_sobolev_weight_parity_more_variants():
+    """Per-point weights through the fused Sobolev kernel for the chains
+    the first weight-parity test doesn't cover: resblock SIREN and
+    NIF-linear's effective generated chain."""
+    import nif_tpu
+
+    rng = np.random.default_rng(21)
+    G, P = 2, 256
+
+    def check(model, si, so, name):
+        params = model.init(jax.random.key(2))
+        pi = model.cfg_parameter_net.input_dim
+        t = jnp.asarray(rng.standard_normal((G, pi)), jnp.float32)
+        x = jnp.asarray(rng.uniform(-1, 1, (G, P, si)), jnp.float32)
+        u = jnp.asarray(rng.standard_normal((G, P, so)), jnp.float32)
+        jt = jnp.asarray(rng.standard_normal((G, P, so, si)), jnp.float32)
+        w = jnp.asarray(rng.uniform(0.0, 2.0, (G, P)), jnp.float32)
+        kw = dict(target_jac=jt, w_jac=0.4, weight=w)
+        t0, terms0, g0 = model.sobolev_value_and_grad(
+            params, t, x, u, fused=False, **kw)
+        t1, terms1, g1 = model.sobolev_value_and_grad(
+            params, t, x, u, fused=True, **kw)
+        np.testing.assert_allclose(float(t0), float(t1), rtol=2e-4,
+                                   err_msg=name)
+        f0 = jax.flatten_util.ravel_pytree(g0)[0]
+        f1 = jax.flatten_util.ravel_pytree(g1)[0]
+        scale = float(jnp.max(jnp.abs(f0))) + 1e-8
+        np.testing.assert_allclose(np.asarray(f1) / scale,
+                                   np.asarray(f0) / scale, atol=5e-5,
+                                   err_msg=name)
+
+    resb = nif_tpu.NIFMultiScale(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 2,
+         "activation": "sine", "use_resblock": True, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 4, "units": 16, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    check(resb, 2, 1, "resblock")
+
+    lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "last_layer", "weight_init_factor": 1.0},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    check(lin, 2, 1, "nif-linear")
