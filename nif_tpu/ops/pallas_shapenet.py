@@ -58,48 +58,95 @@ __all__ = [
 #
 # The VPU's exact f32 sine costs ~25 ops/element and dominates the kernel
 # (measured: 2.4 ms of a 2.9 ms forward at G=32, P=8192, n=128). Activations
-# are cast to bf16 between layers anyway (eps ~ 3.9e-3), so a degree-9 odd
-# minimax polynomial on the range-reduced argument (max error 1.7e-5 — two
-# orders below bf16 rounding) is a free 3-4x kernel speedup. The backward
-# pass uses the TRUE derivative of the forward polynomial, so gradients are
-# exact for the function actually computed.
+# are cast to bf16 between layers anyway (eps ~ 3.9e-3), so a low-degree odd
+# minimax polynomial on the range-reduced argument (degree 7 by default
+# since round 4, max error 2.5e-4 — 15x below bf16 rounding; degree 9 via
+# NIF_SIN_DEGREE=9, error 1.7e-5) is a free 3-4x kernel speedup. The
+# backward pass uses the TRUE derivative of the forward polynomial, so
+# gradients are exact for the function actually computed.
 # --------------------------------------------------------------------------
 _INV2PI = float(1.0 / (2.0 * np.pi))
 # sin(2*pi*t) ~ t*(c1 + c3 t^2 + c5 t^4 + c7 t^6 + c9 t^8), t in [-0.5, 0.5]
 _SIN_C = (6.28308846, -41.33324754, 81.40008977, -74.67588387, 33.16809461)
+# Degree-7 variant: max err 2.5e-4 — 15x below the bf16 output rounding
+# the activations hit anyway (~3.9e-3 relative), and measured +13.7%
+# train points/s at the flagship width-128 config (round-4 probe:
+# 3.76 -> 3.31 ms/step; width-256 is traversal-bound and moves <1%).
+# DEFAULT for bf16 compute since round 4; set NIF_SIN_DEGREE=9 for the
+# round-3 degree-9 polynomial (err 1.7e-5) if the extra two digits
+# matter more than the speed. Backward/second-derivative polynomials
+# follow the same degree so gradients stay exact for the computed
+# function.
+_SIN_C7 = (6.27863546, -41.09373072, 77.93034984, -56.08639487)
+
+
+def _sin_degree() -> int:
+    import os
+
+    return 9 if os.environ.get("NIF_SIN_DEGREE") == "9" else 7
+
+
+def _sin_poly(t):
+    s = t * t
+    if _sin_degree() == 7:
+        c1, c3, c5, c7 = _SIN_C7
+        return t * (c1 + s * (c3 + s * (c5 + s * c7)))
+    c1, c3, c5, c7, c9 = _SIN_C
+    return t * (c1 + s * (c3 + s * (c5 + s * (c7 + s * c9))))
+
+
+def _dsin_poly(t):
+    """d/dt of _sin_poly, times d t/d y = 1/2pi folded in by callers."""
+    s = t * t
+    if _sin_degree() == 7:
+        c1, c3, c5, c7 = _SIN_C7
+        return c1 + s * (3 * c3 + s * (5 * c5 + s * (7 * c7)))
+    c1, c3, c5, c7, c9 = _SIN_C
+    return c1 + s * (3 * c3 + s * (5 * c5 + s * (7 * c7 + s * (9 * c9))))
 
 
 def _fast_sin(y):
     t = y * _INV2PI
     t = t - jnp.round(t)
-    s = t * t
-    c1, c3, c5, c7, c9 = _SIN_C
-    return t * (c1 + s * (c3 + s * (c5 + s * (c7 + s * c9))))
+    return _sin_poly(t)
 
 
 def _fast_sin_grad(y):
     """d/dy of _fast_sin — the exact gradient of the forward polynomial."""
     t = y * _INV2PI
     t = t - jnp.round(t)
-    s = t * t
-    c1, c3, c5, c7, c9 = _SIN_C
-    return (
-        c1 + s * (3 * c3 + s * (5 * c5 + s * (7 * c7 + s * (9 * c9))))
-    ) * _INV2PI
+    return _dsin_poly(t) * _INV2PI
+
+
+def _fast_sin_and_grad(y):
+    """(sin y, d sin/dy) sharing one range reduction.
+
+    Mosaic already CSEs the shared ``t``/``s`` when both polynomials are
+    evaluated in one kernel (measured: separate evaluations cost the same
+    as this joint form), but the joint form lets forward-saving kernels
+    store the derivative VALUE as the residual — at the compute dtype —
+    which halves backward-kernel VMEM liveness and drops the backward
+    polynomial entirely."""
+    t = y * _INV2PI
+    t = t - jnp.round(t)
+    return _sin_poly(t), _dsin_poly(t) * _INV2PI
 
 
 def _fast_sin_grad2(y):
     """d2/dy2 of _fast_sin — exact curvature of the forward polynomial.
 
-    P(t) = t(c1 + c3 s + c5 s^2 + c7 s^3 + c9 s^4), s = t^2, so
-    P''(t) = t(6 c3 + 20 c5 s + 42 c7 s^2 + 72 c9 s^3)."""
+    P(t) = t(c1 + c3 s + c5 s^2 + c7 s^3 [+ c9 s^4]), s = t^2, so
+    P''(t) = t(6 c3 + 20 c5 s + 42 c7 s^2 [+ 72 c9 s^3])."""
     t = y * _INV2PI
     t = t - jnp.round(t)
     s = t * t
-    _, c3, c5, c7, c9 = _SIN_C
-    return t * (
-        6 * c3 + s * (20 * c5 + s * (42 * c7 + s * (72 * c9)))
-    ) * (_INV2PI * _INV2PI)
+    if _sin_degree() == 7:
+        _, c3, c5, c7 = _SIN_C7
+        poly = 6 * c3 + s * (20 * c5 + s * (42 * c7))
+    else:
+        _, c3, c5, c7, c9 = _SIN_C
+        poly = 6 * c3 + s * (20 * c5 + s * (42 * c7 + s * (72 * c9)))
+    return t * poly * (_INV2PI * _INV2PI)
 
 
 def _trig_for(dtype):
@@ -107,6 +154,21 @@ def _trig_for(dtype):
     if jnp.dtype(dtype) == jnp.bfloat16:
         return _fast_sin, _fast_sin_grad
     return jnp.sin, jnp.cos
+
+
+def _act_with_grad(name: str, dtype):
+    """z -> (act(z), act'(z)) evaluated jointly at the compute dtype.
+
+    The joint form shares the range reduction for the bf16 sine pair and
+    lets forward-saving kernels store the DERIVATIVE value as the residual
+    (instead of the pre-activation), so the backward sweep never re-runs an
+    activation polynomial."""
+    if name == "sine":
+        if jnp.dtype(dtype) == jnp.bfloat16:
+            return _fast_sin_and_grad
+        return lambda z: (jnp.sin(z), jnp.cos(z))
+    act, dact = _act_pair(name)
+    return lambda z: (act(z), dact(z))
 
 
 def _trig2_for(dtype):
@@ -233,6 +295,14 @@ def _pick_tile(P: int, cfg: ShapeNetConfig = None, backward: bool = True,
     # their (half-size) pads in the budget's headroom, and measured usage
     # (18.84M at f32/TP=2048 vs <16M at bf16/TP=2048, width-128 depth-2)
     # confirms the f32 surcharge must count the full padded tiles.
+    #
+    # NOTE (round 4): residuals now store at the COMPUTE dtype (half the
+    # round-3 bytes for bf16), but the 4-bytes/value charge here stays —
+    # enlarged tiles were re-probed on hardware and FAIL real compiles
+    # anyway (w256 train @TP=4096 and w128-d4-resblock @TP=2048 both blow
+    # the 16 MB scoped stack: Mosaic's true liveness includes transient
+    # f32 activations and dz streams the residual count doesn't model),
+    # and the one extra tile step bought nothing where it did compile.
     pad_extra = 4 * 128 * itemsize if itemsize > 2 else 0
     if cfg is not None:
         budget = _VMEM_RESIDUAL_BUDGET
@@ -306,31 +376,50 @@ def _last_matmul(u, wl):
 
 
 def _forward_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str, save: bool):
-    """Shared fwd chain: returns (out, ins, zs) where ``ins`` are the layer
-    inputs and ``zs`` the pre-activations — exactly the residuals the
-    backward pass needs, so it never recomputes a forward matmul.
+    """Shared fwd chain: returns (out, ins, dacts) where ``ins`` are the
+    layer inputs and ``dacts`` the ACTIVATION-DERIVATIVE values at each
+    pre-activation — exactly the residuals the backward pass needs, so it
+    never recomputes a forward matmul or an activation polynomial.
     (Both lists are empty when save=False.)
+
+    Residuals are stored at the COMPUTE dtype: the backward matmuls lift
+    them to that dtype anyway, and for bf16 this halves the scoped-VMEM
+    liveness of the train/backward kernels (the binding constraint on the
+    point tile — see :func:`_pick_tile`). The derivative-valued residual
+    replaces the round-3 pre-activation residual: combined with the joint
+    sin/grad evaluation it removes the whole backward activation
+    polynomial (9 VPU ops/element at w256 — measured 25.9% of the train
+    kernel was sine epilogue).
 
     ``ws``/``bs`` are the per-layer 2-D weight matrices / 1-D biases in
     chain order (resblock layers contribute two consecutive entries).
     """
     l = cfg.nlayers
     ins: List[Any] = []
-    zs: List[Any] = []
+    dacts: List[Any] = []
     cdt = x.dtype
-    sin_fn, _ = _trig_for(cdt)
 
     def lift(u):
         return u.astype(cdt)
+
+    if variant == "siren":
+        sin_fn, _ = _trig_for(cdt)
+        pair_fn = _act_with_grad("sine", cdt)
+    else:
+        sin_fn, _ = _act_pair(cfg.activation)
+        pair_fn = _act_with_grad(cfg.activation, cdt)
 
     def layer(u_in, w, b, first=False):
         # NOTE: sine-chain weights arrive PRE-SCALED by omega_0 (folded in
         # XLA outside the kernel), so no per-element scale runs on the VPU.
         mm = _first_matmul if first else _matmul
-        z = mm(u_in if first else lift(u_in), w) + b.astype(jnp.float32)
+        u_c = u_in if first else lift(u_in)
+        z = mm(u_c, w) + b.astype(jnp.float32)
         if save:
-            ins.append(u_in)
-            zs.append(z)
+            ins.append(u_c)
+            u, d = pair_fn(z)
+            dacts.append(lift(d))
+            return u
         return sin_fn(z)
 
     if variant == "siren":
@@ -342,29 +431,16 @@ def _forward_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str, save: bool):
         else:
             for i in range(l):
                 u = layer(u, ws[1 + i], bs[1 + i])
-        if save:
-            ins.append(u)
-        out = _last_matmul(lift(u), ws[-1]) + bs[-1].astype(jnp.float32)
-        return out, ins, zs
+    else:
+        u = layer(x, ws[0], bs[0], first=True)
+        for i in range(l):
+            u = layer(u, ws[1 + i], bs[1 + i]) + u
 
-    # vanilla
-    act, _ = _act_pair(cfg.activation)
-
-    def vlayer(u_in, w, b, first=False):
-        mm = _first_matmul if first else _matmul
-        z = mm(u_in if first else lift(u_in), w) + b.astype(jnp.float32)
-        if save:
-            ins.append(u_in)
-            zs.append(z)
-        return act(z)
-
-    u = vlayer(x, ws[0], bs[0], first=True)
-    for i in range(l):
-        u = vlayer(u, ws[1 + i], bs[1 + i]) + u
+    u_last = lift(u)
     if save:
-        ins.append(u)
-    out = _last_matmul(lift(u), ws[-1]) + bs[-1].astype(jnp.float32)
-    return out, ins, zs
+        ins.append(u_last)
+    out = _last_matmul(u_last, ws[-1]) + bs[-1].astype(jnp.float32)
+    return out, ins, dacts
 
 
 # --------------------------------------------------------------------------
@@ -464,69 +540,102 @@ def _mmT_tn(a, b):
     )
 
 
-def _backward_chain(go, ws, ins, zs, cfg: ShapeNetConfig, variant: str, cdt):
+def _backward_chain(go, ws, ins, dacts, cfg: ShapeNetConfig, variant: str,
+                    cdt, need_dx: bool = True):
     """Given dL/dout and the saved residuals, produce (dws, dbs, dx).
 
-    Uses the SAME activation derivative as the forward chain (polynomial
-    for bf16 compute), so gradients are exact for the computed function.
+    ``need_dx=False`` (the train kernels — x is data, not a parameter)
+    skips the input-cotangent matmul entirely: its [TP, si] output pads
+    si to a full lane tile on the MXU, so relying on Mosaic to
+    dead-code-eliminate it is not worth the risk.
+
+    ``dacts`` carry the activation DERIVATIVE values precomputed by the
+    forward chain (same polynomial as the forward for bf16 compute), so
+    gradients are exact for the computed function and the backward sweep
+    is pure multiply + matmul.
     """
     l = cfg.nlayers
     n_w = len(ws)
-    _, cos_fn = _trig_for(cdt)
-    _, dact = (None, None) if variant == "siren" else _act_pair(cfg.activation)
 
     def lift(u):
         return u.astype(cdt)
+
+    def d32(k):
+        return dacts[k].astype(jnp.float32)
+
+    def colsum(dz_c):
+        """Bias grad: sum a [TP, n] cotangent over rows.
+
+        Default: exact f32 VPU summation. NIF_COLSUM_MXU=1 moves the
+        reduction to the MXU as a [1, TP] x [TP, n] ones-matmul —
+        hardware A/B (round 4, same-process interleaved): +1.5% at w128,
+        -1% at w256, i.e. within chip noise either way, so the exact
+        summation stays the default. (The same A/B settled that the w256
+        train kernel responds to neither VPU-op cuts nor MXU-work cuts —
+        its time is serial per-tile traversal structure.) Takes the
+        LIFTED (compute-dtype) cotangent the sibling dW matmul already
+        materialized — same operand buffer, zero extra liveness (an f32
+        ones-matmul variant pushed the w128 TP=4096 stack 872K over the
+        16 MB scoped limit at real compile).
+        """
+        import os
+
+        if (jnp.dtype(cdt) == jnp.bfloat16
+                and os.environ.get("NIF_COLSUM_MXU") == "1"):
+            ones = jnp.ones((1, dz_c.shape[0]), cdt)
+            return _matmul(ones, dz_c)[0]
+        return jnp.sum(dz_c, axis=0)
 
     dws: List[Any] = [None] * n_w
     dbs: List[Any] = [None] * n_w
 
     # ---- last (linear) layer: out = u_last @ W_l + b_l
     u_last = ins[-1]
-    dws[-1] = _mmT_tn(lift(u_last), lift(go))
-    dbs[-1] = jnp.sum(go, axis=0)
-    du = _mmT_nt(lift(go), ws[-1]).astype(jnp.float32)  # [TP, n]
+    go_c = lift(go)
+    dws[-1] = _mmT_tn(lift(u_last), go_c)
+    dbs[-1] = colsum(go_c)
+    if ws[-1].shape[-1] == 1:
+        # so == 1 (the flagship case): the MXU form pads the K=1
+        # contraction to 128 — half a hidden-matmul pass of 99%-wasted
+        # systolic time per tile. A VPU broadcast costs 1 multiply/elem
+        # (same [1, n] row-extraction trick as _last_matmul).
+        wl_row = ws[-1][:, 0][None, :].astype(jnp.float32)  # [1, n]
+        du = go.astype(jnp.float32) * wl_row  # [TP, n]
+    else:
+        du = _mmT_nt(lift(go), ws[-1]).astype(jnp.float32)  # [TP, n]
 
     if variant == "siren":
         if cfg.use_resblock:
-            # ins/zs layout per block i: [.., u_i @ 1+2i, h_i @ 2+2i, ..]
+            # ins/dacts layout per block i: [.., u_i @ 1+2i, h_i @ 2+2i, ..]
             for i in range(l - 1, -1, -1):
                 u_in, h = ins[1 + 2 * i], ins[2 + 2 * i]
-                z1, z2 = zs[1 + 2 * i], zs[2 + 2 * i]
                 w1, w2 = ws[1 + 2 * i], ws[2 + 2 * i]
-                dz2 = 0.5 * du * cos_fn(z2)
-                dws[2 + 2 * i] = _mmT_tn(lift(h), lift(dz2))
-                dbs[2 + 2 * i] = jnp.sum(dz2, axis=0)
-                dh = _mmT_nt(lift(dz2), w2).astype(jnp.float32)
-                dz1 = dh * cos_fn(z1)
-                dws[1 + 2 * i] = _mmT_tn(lift(u_in), lift(dz1))
-                dbs[1 + 2 * i] = jnp.sum(dz1, axis=0)
-                du = 0.5 * du + _mmT_nt(lift(dz1), w1).astype(jnp.float32)
-            dz0 = du * cos_fn(zs[0])
-            dws[0] = _mmT_tn(ins[0], lift(dz0))
-            dbs[0] = jnp.sum(dz0, axis=0)
-            dx = _mmT_nt(lift(dz0), ws[0])
+                dz2_c = lift(0.5 * du * d32(2 + 2 * i))
+                dws[2 + 2 * i] = _mmT_tn(lift(h), dz2_c)
+                dbs[2 + 2 * i] = colsum(dz2_c)
+                dh = _mmT_nt(dz2_c, w2).astype(jnp.float32)
+                dz1_c = lift(dh * d32(1 + 2 * i))
+                dws[1 + 2 * i] = _mmT_tn(lift(u_in), dz1_c)
+                dbs[1 + 2 * i] = colsum(dz1_c)
+                du = 0.5 * du + _mmT_nt(dz1_c, w1).astype(jnp.float32)
         else:
             for i in range(l - 1, -1, -1):
-                dz = du * cos_fn(zs[1 + i])
-                dws[1 + i] = _mmT_tn(lift(ins[1 + i]), lift(dz))
-                dbs[1 + i] = jnp.sum(dz, axis=0)
-                du = _mmT_nt(lift(dz), ws[1 + i]).astype(jnp.float32)
-            dz0 = du * cos_fn(zs[0])
-            dws[0] = _mmT_tn(ins[0], lift(dz0))
-            dbs[0] = jnp.sum(dz0, axis=0)
-            dx = _mmT_nt(lift(dz0), ws[0])
+                dz_c = lift(du * d32(1 + i))
+                dws[1 + i] = _mmT_tn(lift(ins[1 + i]), dz_c)
+                dbs[1 + i] = colsum(dz_c)
+                du = _mmT_nt(dz_c, ws[1 + i]).astype(jnp.float32)
     else:
         for i in range(l - 1, -1, -1):
-            dz = du * dact(zs[1 + i])
-            dws[1 + i] = _mmT_tn(lift(ins[1 + i]), lift(dz))
-            dbs[1 + i] = jnp.sum(dz, axis=0)
+            dz_c = lift(du * d32(1 + i))
+            dws[1 + i] = _mmT_tn(lift(ins[1 + i]), dz_c)
+            dbs[1 + i] = colsum(dz_c)
             # shortcut: u_i = act(z) + u_{i-1} -> grad adds straight through
-            du = du + _mmT_nt(lift(dz), ws[1 + i]).astype(jnp.float32)
-        dz0 = du * dact(zs[0])
-        dws[0] = _mmT_tn(ins[0], lift(dz0))
-        dbs[0] = jnp.sum(dz0, axis=0)
-        dx = _mmT_nt(lift(dz0), ws[0])
+            du = du + _mmT_nt(dz_c, ws[1 + i]).astype(jnp.float32)
+
+    dz0_c = lift(du * d32(0))
+    dws[0] = _mmT_tn(ins[0], dz0_c)
+    dbs[0] = colsum(dz0_c)
+    dx = _mmT_nt(dz0_c, ws[0]) if need_dx else None
 
     return dws, dbs, dx
 
@@ -659,7 +768,8 @@ def _train_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, has_w: bool, *ref
         loss_part = jnp.sum(jnp.square(err))
         go = 2.0 * err
 
-    dws, dbs, _ = _backward_chain(go, ws, ins, zs, cfg, variant, x.dtype)
+    dws, dbs, _ = _backward_chain(go, ws, ins, zs, cfg, variant, x.dtype,
+                                  need_dx=False)
 
     g = pl.program_id(0)
     p = pl.program_id(1)
@@ -912,7 +1022,7 @@ def _linear_train_kernel(cfg: ShapeNetConfig, n_w: int, so: int, K: int,
     dbias_ref = refs[ofs + 2 + 2 * n_w]
 
     x = x_ref[0]
-    phi, ins, zs = _forward_layers(x, ws, bs, cfg, "siren", save=True)
+    phi, ins, dacts = _forward_layers(x, ws, bs, cfg, "siren", save=True)
     a_row = a_ref[0].astype(jnp.float32)  # [1, K]
     bias_row = bias_ref[0].astype(jnp.float32)  # [1, so]
 
@@ -944,7 +1054,8 @@ def _linear_train_kernel(cfg: ShapeNetConfig, n_w: int, so: int, K: int,
     d_phi = (
         jnp.concatenate(d_phi_cols, axis=1) if so > 1 else d_phi_cols[0]
     )
-    dws, dbs, _ = _backward_chain(d_phi, ws, ins, zs, cfg, "siren", x.dtype)
+    dws, dbs, _ = _backward_chain(d_phi, ws, ins, dacts, cfg, "siren",
+                                  x.dtype, need_dx=False)
 
     g = pl.program_id(0)
     p = pl.program_id(1)
@@ -1254,15 +1365,14 @@ def _jac_rev_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str):
     TP, si = x.shape
     cdt = x.dtype
     so = ws[-1].shape[-1]
-    if variant == "siren":
-        _, d1 = _trig_for(cdt)
-    else:
-        _, d1 = _act_pair(cfg.activation)
 
     def lift(u):
         return u.astype(cdt)
 
-    out, _ins, zs = _forward_layers(x, ws, bs, cfg, variant, save=True)
+    out, _ins, dacts = _forward_layers(x, ws, bs, cfg, variant, save=True)
+    # One f32 lift per layer, shared by every output column's sweep (the
+    # round-3 form re-ran the derivative polynomial per column).
+    d1s = [d.astype(jnp.float32) for d in dacts]
     cols = []
     for j in range(so):
         # cotangent of out_j at u_last is the j-th last-layer weight
@@ -1274,20 +1384,20 @@ def _jac_rev_layers(x, ws, bs, cfg: ShapeNetConfig, variant: str):
         du = _mmT_nt(onehot, ws[-1].astype(jnp.float32))
         if variant == "siren" and cfg.use_resblock:
             for i in range(l - 1, -1, -1):
-                dz2 = 0.5 * du * d1(zs[2 + 2 * i])
+                dz2 = 0.5 * du * d1s[2 + 2 * i]
                 dh = _mmT_nt(lift(dz2), ws[2 + 2 * i]).astype(jnp.float32)
-                dz1 = dh * d1(zs[1 + 2 * i])
+                dz1 = dh * d1s[1 + 2 * i]
                 du = 0.5 * du + _mmT_nt(lift(dz1), ws[1 + 2 * i]).astype(
                     jnp.float32)
         elif variant == "siren":
             for i in range(l - 1, -1, -1):
-                dz = du * d1(zs[1 + i])
+                dz = du * d1s[1 + i]
                 du = _mmT_nt(lift(dz), ws[1 + i]).astype(jnp.float32)
         else:
             for i in range(l - 1, -1, -1):
-                dz = du * d1(zs[1 + i])
+                dz = du * d1s[1 + i]
                 du = du + _mmT_nt(lift(dz), ws[1 + i]).astype(jnp.float32)
-        dz0 = du * d1(zs[0])
+        dz0 = du * d1s[0]
         cols.append(_mmT_nt(lift(dz0), ws[0]))  # [TP, si]
     return out, cols
 

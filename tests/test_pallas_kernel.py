@@ -226,7 +226,10 @@ def test_tile_picks_pinned():
     """Hardware-calibrated tile choices (round-2 sweeps): bf16 takes the
     enlarged tiles, f32 keeps the conservative ones. A silent change here
     is a measured perf regression (train +25%, linear +30%, fwd +9%) or a
-    real-compile OOM."""
+    real-compile OOM (round-4 re-probe: w256 train @TP=4096 and
+    w128-d4-resblock @TP=2048 still fail real compiles even with the
+    halved compute-dtype residuals — do not loosen these without a
+    hardware run)."""
     from nif_tpu.config import ShapeNetConfig
     from nif_tpu.ops.pallas_shapenet import _pick_tile, _pick_tile_linear
 
