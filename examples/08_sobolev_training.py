@@ -22,19 +22,21 @@ import optax
 
 import nif_tpu
 from nif_tpu.demo import TravelingWaveHighFreq
+from nif_tpu.demo.datasets import traveling_wave_dudx
 from nif_tpu.ops import sobolev_loss
 
 
 def main(epochs=1000, w_jac=0.1, seed=0):
-    tw = TravelingWaveHighFreq(freq=10.0)
+    # The reference's actual tutorial-8 data: the K=400 wave packet
+    # (demo/datasets.py reproduces nif/demo/dataset/traveling_wave_high_freq
+    # .npz to f32 rounding), with its exact analytic du/dx as supervision.
+    tw = TravelingWaveHighFreq()
     inputs = np.asarray(tw.data[:, :2], np.float32)
     targets = np.asarray(tw.u, np.float32)
-    # analytic du/dx_norm of the normalized field: u_raw = sin(2*pi*f*(x - t))
     lo = tw.n_p + tw.n_x
-    f = 10.0
     x_raw = tw.data_raw[:, 1]
     t_raw = tw.data_raw[:, 0]
-    dudx_raw = 2 * np.pi * f * np.cos(2 * np.pi * f * (x_raw - t_raw))
+    dudx_raw = traveling_wave_dudx(t_raw, x_raw, tw.wavenumber)
     # chain rule through both normalizations: d u_norm / d x_norm
     dudx_norm = dudx_raw * tw.std[1] / tw.std[lo]
     target_jac = dudx_norm.reshape(-1, 1, 1).astype(np.float32)
@@ -88,26 +90,30 @@ _CFG_P = {"input_dim": 1, "latent_dim": 1, "units": 30, "nlayers": 2,
           "activation": "swish", "use_resblock": False, "omega_0": 30.0}
 
 
-def _grouped_problem(n_xg, f=10.0, G=20):
+def _grouped_problem(n_xg=256, G=10):
     """Shared grouped tutorial-8 problem: (t, x, u, target_jac) with the
-    analytic du/dx_norm chained through both normalizations."""
-    tw = TravelingWaveHighFreq(n_x=n_xg, freq=f)
+    analytic du/dx_norm chained through both normalizations.
+
+    The K=400 packet needs grid spacing below pi/400 ~ 0.0079 to be
+    resolvable, so the grouped variant samples the same field at n_x=256
+    (the bundled 200-point grid does not divide the kernel tile)."""
+    tw = TravelingWaveHighFreq(n_t=G, n_x=n_xg)
     data = np.asarray(tw.data, np.float32)  # normalized [t, x, u], t-major
     t = data[::n_xg, 0:1]
     x = data[:, 1:2].reshape(G, n_xg, 1)
     u = data[:, 2:3].reshape(G, n_xg, 1)
     lo = tw.n_p + tw.n_x
-    dudx_raw = 2 * np.pi * f * np.cos(
-        2 * np.pi * f * (tw.data_raw[:, 1] - tw.data_raw[:, 0]))
+    dudx_raw = traveling_wave_dudx(
+        tw.data_raw[:, 0], tw.data_raw[:, 1], tw.wavenumber)
     tj = (dudx_raw * tw.std[1] / tw.std[lo]).reshape(
         G, n_xg, 1, 1).astype(np.float32)
     return t, x, u, tj
 
 
-def main_grouped(epochs=1000, w_jac=0.1, seed=0, n_xg=128):
+def main_grouped(epochs=1000, w_jac=0.1, seed=0, n_xg=256):
     """Grouped-layout Sobolev training: one hypernet eval per snapshot.
 
-    Uses n_x=128 so the point count per group divides the fused train
+    Uses n_x=256 so the point count per group divides the fused train
     kernel's tile (pad to a multiple of 256 for large P)."""
     t, x, u, tj = _grouped_problem(n_xg)
     cfg_s, cfg_p = _CFG_S, _CFG_P
@@ -136,7 +142,7 @@ def main_grouped(epochs=1000, w_jac=0.1, seed=0, n_xg=128):
     return float(terms["value_mse"])
 
 
-def main_trainer(epochs=1000, w_jac=0.1, seed=0, n_xg=128):
+def main_trainer(epochs=1000, w_jac=0.1, seed=0, n_xg=256):
     """The product path: ``GroupedTrainer`` in Sobolev mode.
 
     Identical objective to :func:`main_grouped`, but the loop is the
@@ -146,7 +152,7 @@ def main_trainer(epochs=1000, w_jac=0.1, seed=0, n_xg=128):
     composing like any other grouped run."""
     from nif_tpu.training import GroupedTrainer
 
-    G = 20
+    G = 10
     t, x, u, tj = _grouped_problem(n_xg, G=G)
     cfg_s, cfg_p = _CFG_S, _CFG_P
     model = nif_tpu.NIFMultiScale(cfg_s, cfg_p)

@@ -37,17 +37,63 @@ def _train(epochs, lr=2e-3, batch_size=512):
     return trainer.evaluate(state, inputs, targets), float(rel_l2(pred, targets))
 
 
-def test_tutorial1_convergence_trend():
-    """400 epochs must get well below the variance floor (loss_0 ~ 1.0)."""
-    mse, _ = _train(epochs=400)
-    assert mse < 0.05, f"MSE {mse} after 400 epochs"
+def test_tutorial1_anchor_adam_then_lbfgs_default_suite():
+    """UNGATED accuracy anchor (VERDICT r3 item 9): tutorial-1 data to
+    MSE < 5e-4 in the default suite, so convergence regressions fail CI.
+
+    Recipe matches the tutorial itself: Adam to the variance-floor regime,
+    then an f64 L-BFGS polish (2 restart rounds). The polish is run from
+    the Adam basin because from-scratch L-BFGS at a fixed iteration budget
+    is seed- AND thread-count-sensitive on CPU (4000 iters measured
+    2.5e-4 / 5.5e-4 / 9e-4 / 2.1e-3 across seeds 0-2 and suite load —
+    XLA:CPU matmul reduction splits vary with thread availability);
+    warm-started it lands 2.35e-4 / 2.43e-4 across seeds 0/1, a stable 2x
+    margin. Calibrated round 4 on the reference-fixture wave packet
+    (~3 min; the Adam leg also covers the old trend test: at 400 epochs
+    the localized packet is still at ~0.94, at 1500 it is ~3.5e-3)."""
+    from nif_tpu.optimizers import LBFGS
+
+    tw = TravelingWave()
+    inputs = np.asarray(tw.data[:, :2], np.float32)
+    targets = np.asarray(tw.u, np.float32)
+    model = nif_tpu.NIF(CFG_S, CFG_P)
+    trainer = Trainer(model, optax.adam(2e-3))
+    state = trainer.init(jax.random.key(0))
+    state = trainer.fit(state, inputs, targets, epochs=1500, batch_size=512)
+    mse_adam = trainer.evaluate(state, inputs, targets)
+    assert mse_adam < 0.05, f"Adam leg MSE {mse_adam} after 1500 epochs"
+
+    opt = LBFGS(model, inputs=inputs, targets=targets, reg=False)
+    params = opt.minimize(state.params, rounds=2, max_iter=1000,
+                          dtype="float64")
+    f32 = jax.tree_util.tree_map(lambda q: np.asarray(q, np.float32), params)
+    pred = model.apply(f32, inputs)
+    mse = float(np.mean(np.square(np.asarray(pred) - targets)))
+    assert mse < 5e-4, f"ungated tutorial-1 anchor MSE {mse:.2e}"
 
 
 @pytest.mark.skipif(not SLOW, reason="set NIF_SLOW=1 for full-budget runs")
 def test_tutorial1_full_convergence():
-    """Full tutorial-1 budget: MSE ~1e-4 (BASELINE.md anchor)."""
-    mse, rl2 = _train(epochs=5000)
-    assert mse < 5e-4, f"MSE {mse}"
+    """Full tutorial-1 budget on the reference fixture: Adam then f64
+    L-BFGS fine-tune (the tutorial-1+README recipe) reaches the ~1e-4
+    regime (BASELINE.md anchor)."""
+    from nif_tpu.optimizers import LBFGS
+
+    tw = TravelingWave()
+    inputs = np.asarray(tw.data[:, :2], np.float32)
+    targets = np.asarray(tw.u, np.float32)
+    model = nif_tpu.NIF(CFG_S, CFG_P)
+    trainer = Trainer(model, optax.adam(2e-3))
+    state = trainer.init(jax.random.key(0))
+    state = trainer.fit(state, inputs, targets, epochs=5000, batch_size=512)
+    opt = LBFGS(model, inputs=inputs, targets=targets, reg=False)
+    params = opt.minimize(state.params, rounds=2, max_iter=1000,
+                          dtype="float64")
+    f32 = jax.tree_util.tree_map(lambda q: np.asarray(q, np.float32), params)
+    pred = model.apply(f32, inputs)
+    mse = float(np.mean(np.square(np.asarray(pred) - targets)))
+    rl2 = float(rel_l2(np.asarray(pred), targets))
+    assert mse < 2e-4, f"MSE {mse}"
     assert rl2 < 3e-2, f"rel-L2 {rl2}"
 
 
@@ -100,12 +146,14 @@ def test_tutorial4_derivative_accuracy():
     state = trainer.fit(state, inputs, targets, epochs=3000, batch_size=512)
     fn = lambda i: model.apply(state.params, i)
     _, dudx = output_and_jacobian(fn, jnp.asarray(inputs), x_index=[1])
-    # analytic: u = exp(-50 d^2), d = mod(x - t - 0.2, 1) - 0.5
+    # analytic du/dx of the reference-fixture K=4 wave packet
+    from nif_tpu.demo.datasets import traveling_wave_dudx
+
     t_raw, x_raw = tw.data_raw[:, 0], tw.data_raw[:, 1]
-    d = np.mod(x_raw - t_raw - 0.2, 1.0) - 0.5
-    dudx_norm = (-100.0 * d * np.exp(-50.0 * d**2)) * tw.std[1] / tw.std[2]
+    dudx_norm = traveling_wave_dudx(t_raw, x_raw, tw.wavenumber) \
+        * tw.std[1] / tw.std[2]
     rl2 = float(rel_l2(np.asarray(dudx).reshape(-1), dudx_norm))
-    assert rl2 < 0.1, f"du/dx rel-L2 {rl2}"
+    assert rl2 < 0.2, f"du/dx rel-L2 {rl2}"
 
 
 @pytest.mark.skipif(not SLOW, reason="set NIF_SLOW=1 for full-budget runs")
@@ -177,14 +225,16 @@ def test_tutorial8_sobolev_beats_value_only():
     from nif_tpu.demo import TravelingWaveHighFreq
     from nif_tpu.ops import output_and_jacobian, sobolev_loss
 
-    twh = TravelingWaveHighFreq(freq=10.0)
-    rng = np.random.default_rng(0)
-    sel = rng.choice(2000, size=512, replace=False)
-    inputs = np.asarray(twh.data[sel, :2], np.float32)
-    targets = np.asarray(twh.u[sel], np.float32)
+    from nif_tpu.demo.datasets import traveling_wave_dudx
+
+    # the reference's actual high-freq fixture grid (K=400 packet); full
+    # 2000 points — random subsampling would alias the packet
+    twh = TravelingWaveHighFreq()
+    inputs = np.asarray(twh.data[:, :2], np.float32)
+    targets = np.asarray(twh.u, np.float32)
     lo = twh.n_p + twh.n_x
-    x_raw, t_raw = twh.data_raw[sel, 1], twh.data_raw[sel, 0]
-    dudx_raw = 2 * np.pi * 10 * np.cos(2 * np.pi * 10 * (x_raw - t_raw))
+    x_raw, t_raw = twh.data_raw[:, 1], twh.data_raw[:, 0]
+    dudx_raw = traveling_wave_dudx(t_raw, x_raw, twh.wavenumber)
     dudx_norm = (dudx_raw * twh.std[1] / twh.std[lo]).astype(np.float32)
 
     def train(w_jac, epochs=800, seed=0):
@@ -341,13 +391,13 @@ def test_tutorial8_sobolev_trainer_mode_anchor():
     _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
                                       "examples"))
     ex8 = importlib.import_module("08_sobolev_training")
-    t, x, u, tj = ex8._grouped_problem(128)
+    t, x, u, tj = ex8._grouped_problem(256)
     model = nif_tpu.NIFMultiScale(ex8._CFG_S, ex8._CFG_P)
     trainer = GroupedTrainer(model, optax.adam(5e-4), w_jac=0.1)
     state = trainer.init(jax.random.key(0))
     state = trainer.fit_resident(state, t, x, u, target_jac=tj,
                                  epochs=2000, group_batch=t.shape[0],
-                                 point_batch=128)
+                                 point_batch=256)
     _, dd = output_and_jacobian_grouped(
         model, state.params, jnp.asarray(t), jnp.asarray(x))
     d = float(rel_l2(np.asarray(dd).reshape(-1), tj.reshape(-1)))
