@@ -215,11 +215,6 @@ def _train_grouped(args):
     from nif_tpu.training import CheckpointCallback, GroupedTrainer
     from nif_tpu.training.trainer import pad_batch, reg_row_weights
 
-    if args.lbfgs:
-        raise SystemExit(
-            "--lbfgs needs the full dataset in memory; pass an .npz "
-            "instead of a grouped shard directory"
-        )
     model, cfg = _build_model(args)
     ds = GroupedDataset(args.data)
     mesh = make_mesh() if args.data_parallel else None
@@ -318,6 +313,32 @@ def _train_grouped(args):
     if ckpt_cb is not None:
         ckpt_cb.on_epoch_end(trainer, state, cur_epoch, {})
         ckpt_cb.on_train_end(trainer, state)
+
+    if args.lbfgs:
+        # chunked grouped-layout L-BFGS fine-tune over the WHOLE shard
+        # directory — value (+ Sobolev jac) objective identical to the
+        # streamed trainer's, accumulated group-chunk by group-chunk so
+        # only one chunk's activations are live (VERDICT r3 item 6)
+        from nif_tpu.optimizers import GroupedLBFGS
+
+        parts = [np.load(f) for f in ds.files]
+        tt = np.concatenate([p["t"] for p in parts])
+        xx = np.concatenate([p["x"] for p in parts])
+        uu = np.concatenate([p["u"] for p in parts])
+        ww = (np.concatenate([p["w"] for p in parts])
+              if ds.meta.get("weighted") else None)
+        jj = (np.concatenate([p["ju"] for p in parts]) if sobolev else None)
+        tuner = GroupedLBFGS(model, tt, xx, uu, weight=ww, target_jac=jj,
+                             w_jac=getattr(args, "w_jac", 1.0),
+                             chunk_groups=group_batch, mesh=mesh)
+        params = tuner.minimize(state.params, rounds=1,
+                                max_iter=args.lbfgs)
+        state = type(state)(params, state.opt_state, state.step)
+        if len(tuner.history["loss"]):
+            last_loss = float(tuner.history["loss"][-1])
+        print(f"after grouped L-BFGS ({args.lbfgs} iters, chunked "
+              f"{group_batch} groups): loss {last_loss:.6e}")
+
     print(f"final loss: {last_loss:.6e}")
     if args.ckpt_dir:
         from nif_tpu.training import Checkpointer

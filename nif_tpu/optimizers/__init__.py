@@ -24,7 +24,7 @@ from typing import Optional
 import optax
 
 from .adabelief import adabelief_full, scale_by_belief
-from .lbfgs import LBFGS, lbfgs_minimize
+from .lbfgs import LBFGS, GroupedLBFGS, lbfgs_minimize
 
 __all__ = [
     "adam",
@@ -33,6 +33,7 @@ __all__ = [
     "adabelief",
     "lion",
     "LBFGS",
+    "GroupedLBFGS",
     "lbfgs_minimize",
     "centralize_gradients",
     "warmup_linear_decay",

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-__all__ = ["LBFGS", "lbfgs_minimize"]
+__all__ = ["LBFGS", "GroupedLBFGS", "lbfgs_minimize"]
 
 
 def lbfgs_minimize(
@@ -321,3 +321,169 @@ class LBFGS:
     def history(self) -> Dict[str, Any]:
         h = list(self._history)
         return {"iteration": np.arange(1, len(h) + 1), "loss": h}
+
+
+class GroupedLBFGS(LBFGS):
+    """Full-batch L-BFGS over the GROUPED layout — the fine-tuning stage
+    composing with ``GroupedTrainer``'s flagship layout, with optional
+    Sobolev derivative targets (VERDICT r3 item 6; reference
+    nif/optimizers/lbfgs.py:52-85 + tutorial 8).
+
+    The objective matches the trainers' exactly:
+    ``w_value * mean(weight * (u_pred - u)^2)
+    [+ w_jac * mean(weight * (du/dx - target_jac)^2)]
+    [+ regularization]`` — so a grouped Adam run and its L-BFGS fine-tune
+    optimize the SAME function.
+
+    Args:
+      t, x, u: grouped arrays ``[G, p]``, ``[G, P, si]``, ``[G, P, so]``.
+      weight: optional ``[G, P]`` per-point weights.
+      target_jac: optional ``[G, P, so, si]`` Sobolev derivative targets.
+      chunk_groups: evaluate the objective by ACCUMULATION over fixed-size
+        group chunks inside a ``lax.fori_loop`` — only one chunk of
+        activations (and Jacobian tangents) is ever live, so datasets far
+        beyond one forward pass fit. Mathematically identical to the
+        in-memory objective (zero-weight padded groups; batch-mean reg
+        terms accumulate exactly via ``reg_weight`` rows).
+      mesh: optionally shard each chunk's group axis over the mesh's batch
+        axes (chunk evaluation runs data-parallel; XLA psums the sums).
+    """
+
+    def __init__(self, model, t, x, u, weight=None, target_jac=None,
+                 reg: bool = True, w_value: float = 1.0, w_jac: float = 1.0,
+                 display_epoch: int = 0, chunk_groups: Optional[int] = None,
+                 mesh=None):
+        self.model = model
+        self.display_epoch = display_epoch
+        self._base_loss = None
+        self._reg = reg
+        self._history = []
+        self.chunk_size = None  # base-class point-wise chunking unused
+        self.mesh = mesh
+        self.w_value, self.w_jac = w_value, w_jac
+
+        def _to_f(a):
+            a = np.asarray(a)
+            return a if a.dtype == np.float64 else a.astype(np.float32)
+
+        t, x, u = _to_f(t), _to_f(x), _to_f(u)
+        G, P, si = x.shape
+        so = u.shape[-1]
+        w = (np.ones((G, P), np.float32) if weight is None
+             else _to_f(weight).reshape(G, P))
+        tj = None if target_jac is None else _to_f(target_jac)
+        if tj is not None and tj.shape != (G, P, so, si):
+            raise ValueError(
+                f"GroupedLBFGS: target_jac shape {tj.shape} != "
+                f"{(G, P, so, si)} (full [G, P, so, si] targets only)"
+            )
+        self._n_real_groups = G
+        self.chunk_groups = chunk_groups
+        if chunk_groups is None:
+            self._data = (jnp.asarray(t), jnp.asarray(x), jnp.asarray(u),
+                          jnp.asarray(w),
+                          None if tj is None else jnp.asarray(tj))
+            return
+        if mesh is not None:
+            from ..parallel.mesh import batch_axis_size
+
+            chunk_groups += (-chunk_groups) % batch_axis_size(mesh)
+            self.chunk_groups = chunk_groups
+        pad = (-G) % chunk_groups
+        if pad:
+            def padg(a):
+                return np.concatenate(
+                    [a, np.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+
+            t, x, u = padg(t), padg(x), padg(u)
+            w = np.concatenate([w, np.zeros((pad, P), np.float32)])
+            if tj is not None:
+                tj = padg(tj)
+        # reg row weights: chunk-mean batch-reg terms accumulate to the
+        # exact full-batch mean when rw = mask * chunk_groups / G_real
+        rw = np.concatenate(
+            [np.ones(G, np.float32), np.zeros(pad, np.float32)]
+        ) * (chunk_groups / G)
+        C = t.shape[0] // chunk_groups
+
+        def reshape(a):
+            return a.reshape((C, chunk_groups) + a.shape[1:])
+
+        arrs = [reshape(a) for a in (t, x, u, w, rw)]
+        if tj is not None:
+            arrs.append(reshape(tj))
+        if mesh is None:
+            self._chunks = tuple(jnp.asarray(a) for a in arrs)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            from ..parallel.mesh import batch_axes
+
+            sh = NamedSharding(mesh, Pspec(None, batch_axes(mesh)))
+            self._chunks = tuple(jax.device_put(a, sh) for a in arrs)
+        self._has_jac = tj is not None
+
+    def _term_sums(self, params, t, x, u, w, tj):
+        """(value_sq_sum, jac_sq_sum) with ``w`` folded in — the shared
+        building block of the in-memory and chunked objectives."""
+        if tj is None:
+            pred = self.model.apply_grouped(params, t, x, fused=False)
+            jac = None
+        else:
+            from ..ops.derivatives import output_and_jacobian_grouped
+
+            pred, jac = output_and_jacobian_grouped(
+                self.model, params, t, x, fused=False)
+        err = jnp.square(pred - u.astype(pred.dtype))
+        vsum = jnp.sum(err * w[..., None].astype(pred.dtype))
+        jsum = jnp.zeros((), vsum.dtype)
+        if tj is not None:
+            jerr = jnp.square(jac - tj.astype(jac.dtype))
+            jsum = jnp.sum(jerr * w[..., None, None].astype(jac.dtype))
+        return vsum, jsum
+
+    def _objective(self, params):
+        G_r = self._n_real_groups
+        if self.chunk_groups is None:
+            t, x, u, w, tj = self._data
+            _, P, si = x.shape
+            so = u.shape[-1]
+            vsum, jsum = self._term_sums(params, t, x, u, w, tj)
+            loss = self.w_value * vsum / (G_r * P * so)
+            if tj is not None:
+                loss = loss + self.w_jac * jsum / (G_r * P * so * si)
+            if self._reg and self.model.has_regularization:
+                loss = loss + self.model.regularization_loss(params, t=t)
+            return loss
+
+        chunks = self._chunks
+        tj_c = chunks[5] if self._has_jac else None
+        tC, xC, uC, wC, rwC = chunks[:5]
+        C = tC.shape[0]
+        _, _, P, si = xC.shape
+        so = uC.shape[-1]
+        has_batch_reg = self._reg and self.model.has_regularization
+
+        def body(i, acc):
+            vsum, jsum, rsum = acc
+            v, j = self._term_sums(
+                params, tC[i], xC[i], uC[i], wC[i],
+                None if tj_c is None else tj_c[i])
+            vsum = vsum + v.astype(vsum.dtype)
+            jsum = jsum + j.astype(jsum.dtype)
+            if has_batch_reg:
+                rsum = rsum + self.model.regularization_loss(
+                    params, t=tC[i], reg_weight=rwC[i], parts="batch"
+                ).astype(rsum.dtype)
+            return vsum, jsum, rsum
+
+        zero = jnp.zeros((), float)
+        vsum, jsum, rsum = jax.lax.fori_loop(
+            0, C, body, (zero, zero, zero))
+        loss = self.w_value * vsum / (G_r * P * so)
+        if self._has_jac:
+            loss = loss + self.w_jac * jsum / (G_r * P * so * si)
+        if self._reg and self.model.has_regularization:
+            loss = loss + rsum + self.model.regularization_loss(
+                params, parts="params")
+        return loss

@@ -287,3 +287,72 @@ def test_lbfgs_chunked_rejects_custom_loss():
         LBFGS(model, loss_fn=lambda p, t: 0.0,
               inputs=np.zeros((4, 2), np.float32),
               targets=np.zeros((4, 1), np.float32), chunk_size=2)
+
+
+def test_grouped_lbfgs_chunked_matches_in_memory():
+    """GroupedLBFGS (VERDICT r3 item 6): the chunked grouped objective —
+    value + Sobolev jacobian terms + batch-mean reg — is the SAME function
+    as the in-memory one (deliberate non-dividing chunking with padded
+    groups), and it composes with a mesh."""
+    import nif_tpu
+    from nif_tpu.optimizers import GroupedLBFGS
+    from nif_tpu.parallel import make_mesh
+
+    cfg_s = {"input_dim": 1, "output_dim": 1, "units": 12, "nlayers": 1,
+             "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+             "connectivity": "full", "weight_init_factor": 0.1}
+    cfg_p = {"input_dim": 1, "latent_dim": 2, "units": 12, "nlayers": 1,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0,
+             "act_l2_reg": 1e-3}  # batch-mean reg must chunk exactly
+    model = nif_tpu.NIFMultiScale(cfg_s, cfg_p)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    G, P = 10, 32  # chunk 4 -> 3 chunks, 2 zero-weight pad groups
+    t = np.linspace(0, 1, G, dtype=np.float32)[:, None]
+    x = rng.uniform(-1, 1, (G, P, 1)).astype(np.float32)
+    phase = 2 * np.pi * (x[..., 0] - t)
+    u = np.sin(phase).astype(np.float32)[..., None]
+    ju = (2 * np.pi * np.cos(phase)).astype(np.float32)[..., None, None]
+    w = rng.uniform(0.5, 1.5, (G, P)).astype(np.float32)
+
+    mk = lambda **kw: GroupedLBFGS(model, t, x, u, weight=w, target_jac=ju,
+                                   w_jac=0.1, **kw)
+    full = mk()
+    chunked = mk(chunk_groups=4)
+    f0 = float(full._objective(params))
+    c0 = float(chunked._objective(params))
+    assert c0 == pytest.approx(f0, rel=1e-6), (f0, c0)
+
+    p_full = full.minimize(params, rounds=1, max_iter=15)
+    p_chunk = chunked.minimize(params, rounds=1, max_iter=15)
+    np.testing.assert_allclose(full.history["loss"][:5],
+                               chunked.history["loss"][:5], rtol=1e-4)
+    assert chunked.history["loss"][-1] == pytest.approx(
+        full.history["loss"][-1], rel=1e-3)
+
+    meshed = mk(chunk_groups=4, mesh=make_mesh(n_devices=2))
+    m0 = float(meshed._objective(params))
+    assert m0 == pytest.approx(f0, rel=1e-6)
+
+    # value-only variant (no target_jac) also agrees with itself chunked
+    v_full = GroupedLBFGS(model, t, x, u)
+    v_chunk = GroupedLBFGS(model, t, x, u, chunk_groups=4)
+    assert float(v_chunk._objective(params)) == pytest.approx(
+        float(v_full._objective(params)), rel=1e-6)
+
+
+def test_grouped_lbfgs_rejects_bad_jac_shape():
+    import nif_tpu
+    from nif_tpu.optimizers import GroupedLBFGS
+
+    model = nif_tpu.NIFMultiScale(
+        {"input_dim": 1, "output_dim": 1, "units": 8, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    with pytest.raises(ValueError, match="target_jac"):
+        GroupedLBFGS(model, np.zeros((2, 1)), np.zeros((2, 8, 1)),
+                     np.zeros((2, 8, 1)),
+                     target_jac=np.zeros((2, 8, 1)))
