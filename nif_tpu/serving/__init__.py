@@ -1,3 +1,5 @@
-from .export import export_apply, load_exported, predict
+from .export import (export_apply, load_exported, predict,
+                     predict_grouped, predict_shared_mesh)
 
-__all__ = ["export_apply", "load_exported", "predict"]
+__all__ = ["export_apply", "load_exported", "predict", "predict_grouped",
+           "predict_shared_mesh"]
