@@ -114,3 +114,41 @@ def test_magnitude_pruning_mask_held_between_updates():
     # after the ramp the kept fraction honors the schedule
     from nif_tpu.compression import sparsity
     assert sparsity(p) >= 0.4
+
+
+def test_int8_rom_decode_executes_int8_and_is_accurate():
+    """VERDICT r3 item 7: the ROM decode path EXECUTES an int8 matmul
+    (int8 x int8 -> int32 in the jaxpr, not dequantize-then-f32) and
+    stays within a tight accuracy budget of the f32 decode."""
+    import jax
+    import jax.numpy as jnp
+
+    import nif_tpu
+    from nif_tpu.compression import quantize_shared_mesh, rom_decode_int8
+
+    model = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        {"input_dim": 1, "output_dim": 2, "units": 16, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "last_layer", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 8, "units": 16, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(rng.standard_normal((6, 1)), jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (96, 1)), jnp.float32)
+    pack = quantize_shared_mesh(model, params, x)
+    assert pack["q_phi"].dtype == jnp.int8
+
+    u8 = rom_decode_int8(model, params, pack, t)
+    uf = np.asarray(model.apply_shared_mesh(params, t, x), np.float64)
+    rel = float(np.linalg.norm(np.asarray(u8, np.float64) - uf)
+                / np.linalg.norm(uf))
+    assert u8.shape == uf.shape
+    assert rel < 1e-2, f"int8 decode rel err {rel}"
+
+    # the contraction really is int8 -> int32 (executed quantization)
+    jaxpr = str(jax.make_jaxpr(
+        lambda tt: rom_decode_int8(model, params, pack, tt))(t))
+    assert "preferred_element_type=int32" in jaxpr
+    assert "dot_general" in jaxpr
