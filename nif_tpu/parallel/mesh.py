@@ -102,16 +102,29 @@ def put_batch_tuple(arrays, mesh: Optional[Mesh]):
     )
 
 
+def put_global(leaf, sharding):
+    """Place ONE host array that every process holds identically (same
+    seed / deterministic init) under an arbitrary sharding — process-safe.
+
+    Single-controller: plain ``device_put``. Multi-controller: passes the
+    full array as process-local data WITH ``global_shape=leaf.shape`` so
+    each device slices its own shard out of the local copy — required for
+    specs whose sharded axis spans processes (omitting global_shape would
+    make JAX infer a global dim of ``local * n_processes`` and concatenate
+    the copies)."""
+    if jax.process_count() == 1:
+        return jax.device_put(leaf, sharding)
+    a = np.asarray(leaf)
+    return jax.make_array_from_process_local_data(sharding, a, a.shape)
+
+
 def put_replicated(tree, mesh: Mesh):
     """Replicate a pytree onto the mesh (multi-process safe: each process
     must hold the same values, e.g. from an identical PRNG seed)."""
     sh = replicated_sharding(mesh)
     if jax.process_count() == 1:
         return jax.device_put(tree, sh)
-    return jax.tree_util.tree_map(
-        lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
-        tree,
-    )
+    return jax.tree_util.tree_map(lambda a: put_global(a, sh), tree)
 
 
 def make_mesh(
@@ -254,17 +267,12 @@ def moment_follows_head(leaf, head_shape, n_model: int) -> bool:
 
 def put_params_model_parallel(params, mesh: Mesh, axis: str = "model"):
     """Place a params pytree with the head kernel sharded over ``axis``
-    (see :func:`model_axis_specs`); everything else replicated."""
+    (see :func:`model_axis_specs`); everything else replicated.
+    Multi-process safe for model axes that span processes
+    (:func:`put_global` semantics)."""
     specs = model_axis_specs(params, mesh, axis)
-    if jax.process_count() == 1:
-        return jax.tree_util.tree_map(
-            lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
-            params, specs,
-        )
     return jax.tree_util.tree_map(
-        lambda leaf, spec: jax.make_array_from_process_local_data(
-            NamedSharding(mesh, spec), np.asarray(leaf)
-        ),
+        lambda leaf, spec: put_global(leaf, NamedSharding(mesh, spec)),
         params, specs,
     )
 

@@ -57,13 +57,32 @@ def local_params(params):
 
     Multi-controller runs hold params as non-fully-addressable global
     arrays; feeding those into a host-local eval jit alongside per-host
-    numpy batches is an error. Replicated global arrays carry the full
-    value in every shard, so any addressable shard IS the local copy.
-    Single-process (and plain numpy leaves): identity.
+    numpy batches is an error. The full value is reassembled from the
+    ADDRESSABLE shards at their indices — correct for replicated arrays
+    AND for tensor-parallel-sharded leaves (e.g. the hypernetwork head
+    under ``shard_model_axis``, whose first shard is only 1/n_model of
+    the kernel — taking ``addressable_shards[0]`` alone silently
+    evaluated with a truncated model; round-4 multi-host TP test).
+    Leaves whose sharded axis spans processes are completed with one
+    host allgather. Single-process (and plain numpy leaves): identity.
     """
     def to_local(a):
         if isinstance(a, jax.Array) and not a.is_fully_addressable:
-            return np.asarray(a.addressable_shards[0].data)
+            out = np.zeros(a.shape, a.dtype)
+            seen = np.zeros(a.shape, bool)
+            for s in a.addressable_shards:
+                out[s.index] = np.asarray(s.data)
+                seen[s.index] = True
+            if not seen.all():
+                # sharded axis spans processes: merge every process's
+                # addressable pieces (tiny — params, not data)
+                from jax.experimental import multihost_utils
+
+                outs = multihost_utils.process_allgather(out)
+                seens = multihost_utils.process_allgather(seen)
+                for o, m in zip(outs, seens):
+                    out[m] = o[m]
+            return out
         return a
 
     return jax.tree_util.tree_map(to_local, params)

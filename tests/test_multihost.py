@@ -111,6 +111,36 @@ def test_multihost_checkpoint_restore_continues(tmp_path):
     assert np.isfinite(run2[0]["global_rel_l2"])
 
 
+def test_two_process_tensor_parallel_matches_data_parallel(tmp_path):
+    """Multi-host TENSOR parallelism (VERDICT r3 item 5): a 2-process
+    cluster on a ('data', 'model') mesh — head kernel + Adam moments
+    sharded over 'model', ZeRO-1-style placements through put_global —
+    trains to the same loss trajectory as the pure data-parallel mesh
+    (row-parallel matmul is numerically the same computation)."""
+    data_dir = _make_data(tmp_path)
+    dp = launch_local_cluster(data_dir, n_processes=2,
+                              devices_per_process=2,
+                              out_dir=str(tmp_path / "dp"))
+    tp = launch_local_cluster(data_dir, n_processes=2,
+                              devices_per_process=2,
+                              out_dir=str(tmp_path / "tp"), model_axis=2)
+    assert all(r["global_devices"] == 4 for r in tp)
+    # TP placements really sharded (not silent replication)
+    assert all(r["head_is_sharded"] for r in tp)
+    assert all(r["zero1_moment_sharded"] for r in tp)
+    assert np.isfinite(tp[0]["zero1_loss"])
+    # loss identical across the TP processes, and the trajectory matches
+    # the data-parallel run (same data order per host, same seed)
+    assert tp[0]["final_loss"] == pytest.approx(tp[1]["final_loss"],
+                                                rel=1e-6)
+    assert tp[0]["first_loss"] == pytest.approx(dp[0]["first_loss"],
+                                                rel=1e-3)
+    assert tp[0]["final_loss"] == pytest.approx(dp[0]["final_loss"],
+                                                rel=1e-3)
+    assert tp[0]["global_rel_l2"] == pytest.approx(dp[0]["global_rel_l2"],
+                                                   rel=1e-3)
+
+
 def test_uneven_stripe_stays_in_lockstep(tmp_path):
     """3 shard files stripe 2/1 across 2 hosts; without global-min step
     truncation host 0 would take more collective steps than host 1 and the
