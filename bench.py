@@ -6,9 +6,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 utilization vs the chip's bf16 peak — the BASELINE.md north-star, measured
 rather than argued), the NIF-linear fused-train metric
 (``niflinear_train_points_per_sec_per_chip`` + its speedup over the plain
-XLA path on the same chip), serving/ROM-decode throughput, and the fused
-derivative paths (``jacobian_eval_points_per_sec_per_chip``,
-``sobolev_train_points_per_sec_per_chip``).
+XLA path on the same chip), serving/ROM-decode throughput (including the
+EXPORTED grouped artifact and the int8-executing decode), and the
+derivative paths (``jacobian_eval_...``, ``sobolev_train_...``,
+``hessian_train_...``).
 
 ``value``       — points/sec/chip for a full training step (forward +
                   backward + adam) in the grouped TPU-first layout with the
@@ -23,7 +24,12 @@ derivative paths (``jacobian_eval_points_per_sec_per_chip``,
 Timing methodology: steps are chained inside a single jitted ``lax.scan``
 (state carried step to step) and the final loss is read back to the host,
 so the measurement cannot be faked by async dispatch. Steady-state time is
-(T(N2) - T(N1)) / (N2 - N1) to cancel dispatch/transfer overhead.
+(T(N2) - T(N1)) / (N2 - N1) to cancel dispatch/transfer overhead, measured
+as PAIRED repeats so every metric reports {median, min, max, n} — the
+shared chip sits in different clock states for tens of minutes at a time
+(round-3 lesson: single point estimates made a clock state look like a
+regression), so the spread is part of the result. Headline numbers use the
+MEDIAN repeat.
 """
 from __future__ import annotations
 
@@ -63,18 +69,19 @@ def make_model(units=128, nlayers=2, use_resblock=False):
     return nif_tpu.NIFMultiScale(cfg_s, cfg_p, mixed_policy="mixed_bfloat16")
 
 
-def steady_state_time(step_fn, state0, n1=10, n2=40, repeats=3):
-    """Per-step time via scan-chained steps with forced readback.
+def steady_state_times(step_fn, state0, n1=10, n2=40, repeats=3):
+    """Per-step times via scan-chained steps with forced readback.
 
-    Each measurement is the min over ``repeats`` timed runs — the chip is
-    shared, and min-of-repeats filters co-tenant contention without
-    changing what is measured (every run is still a full scan-chained
-    execution synced by the scalar readback).
+    Returns a list of per-repeat steady-state dts: each repeat times ONE
+    short (n1-step) and ONE long (n2-step) scan back to back and takes
+    (T2 - T1)/(n2 - n1), so dispatch overhead cancels within the pair and
+    a chip-state change between repeats shows up as spread instead of
+    silently biasing a single estimate.
     """
-
-    def run_n(n):
+    runs = {}
+    for n in (n1, n2):
         @jax.jit
-        def run(state):
+        def run(state, n=n):
             def body(c, _):
                 c, loss = step_fn(c)
                 return c, loss
@@ -83,21 +90,42 @@ def steady_state_time(step_fn, state0, n1=10, n2=40, repeats=3):
             return losses[-1]
 
         _ = float(run(state0))  # compile + warm
-        best = float("inf")
-        for _i in range(repeats):
-            t0 = time.perf_counter()
-            _ = float(run(state0))  # timed, synced by the scalar readback
-            best = min(best, time.perf_counter() - t0)
-        return best
+        runs[n] = run
 
-    d1, d2 = run_n(n1), run_n(n2)
-    if d2 <= d1:  # contention hit every short-scan run; measure again
-        d1, d2 = run_n(n1), run_n(n2)
-    if d2 <= d1:
-        # conservative upper bound (includes dispatch overhead) instead of
-        # clamping to an absurdly small dt and emitting a corrupt record
-        return d2 / n2
-    return (d2 - d1) / (n2 - n1)
+    dts = []
+    for _i in range(repeats):
+        t0 = time.perf_counter()
+        _ = float(runs[n1](state0))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(runs[n2](state0))
+        d2 = time.perf_counter() - t0
+        if d2 > d1:
+            dts.append((d2 - d1) / (n2 - n1))
+        else:
+            # contention hit the long run; conservative upper bound
+            dts.append(d2 / n2)
+    return dts
+
+
+def spread(dts):
+    """{median, min, max, n} summary of per-repeat steady dts (seconds)."""
+    a = sorted(dts)
+    return {
+        "med": float(np.median(a)),
+        "min": a[0],
+        "max": a[-1],
+        "n": len(a),
+    }
+
+
+def ms_fields(name, s):
+    return {
+        f"{name}_ms": round(s["med"] * 1e3, 4),
+        f"{name}_ms_min": round(s["min"] * 1e3, 4),
+        f"{name}_ms_max": round(s["max"] * 1e3, 4),
+        f"{name}_repeats": s["n"],
+    }
 
 
 def main():
@@ -121,7 +149,9 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state), loss
 
-    dt_grouped = steady_state_time(step_grouped, (params, opt_state))
+    s_grouped = spread(steady_state_times(step_grouped, (params, opt_state),
+                                          repeats=5))
+    dt_grouped = s_grouped["med"]
     pps_grouped = G * P / dt_grouped
 
     # ------------- point-wise layout (reference algorithmic baseline) ------
@@ -145,7 +175,8 @@ def main():
             updates, opt_state = tx.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), loss
 
-        dt_pw = steady_state_time(step_pw, (params, opt_state), n1=5, n2=20)
+        dt_pw = np.median(steady_state_times(
+            step_pw, (params, opt_state), n1=5, n2=20, repeats=3))
         if B / dt_pw > pps_pw:
             pps_pw, best_B = B / dt_pw, B
 
@@ -163,16 +194,16 @@ def main():
         peak_tflops=peak,
     )
 
-    # Per-arithmetic-intensity utilization table (round-3 north-star
-    # evidence): the width-128 kernel is VPU/epilogue-limited, so MXU
-    # utilization must CLIMB as the matmul:epilogue op ratio grows. Measured
-    # profile (PARITY.md "MXU north star"): w128 ~26%, w256 >50% (the
-    # BASELINE.md bar at the width whose intensity supports it), deep
-    # resblock in between.
+    # Per-arithmetic-intensity utilization table (round-3/4 north-star
+    # evidence): the width-128 kernel is VPU-traversal-limited, so MXU
+    # utilization must CLIMB as the matmul:traversal ratio grows; w256 is
+    # the BASELINE.md >50% bar. Every variant reports its full spread so a
+    # chip-state swing is visible instead of masquerading as a regression.
     mxu_table = {}
-    for vname, vkw in (
-        ("w256_d2", dict(units=256, nlayers=2)),
-        ("w128_d4_resblock", dict(units=128, nlayers=4, use_resblock=True)),
+    for vname, vkw, reps in (
+        ("w256_d2", dict(units=256, nlayers=2), 6),
+        ("w128_d4_resblock", dict(units=128, nlayers=4, use_resblock=True),
+         3),
     ):
         vmodel = make_model(**vkw)
         vparams = vmodel.init(jax.random.key(0))
@@ -184,18 +215,27 @@ def main():
             updates, o = tx.update(grads, o, p)
             return (optax.apply_updates(p, updates), o), loss
 
-        dt_v = steady_state_time(vstep, (vparams, vopt), n1=5, n2=20,
-                                 repeats=2)
-        vrep = step_report(vmodel.cfg_shape_net, vmodel.cfg_parameter_net,
-                           G, P, dt_v, peak_tflops=peak)
-        mxu_table[vname] = {
-            "step_ms": round(dt_v * 1e3, 4),
-            "points_per_sec": round(G * P / dt_v, 1),
-            "tflops_per_sec": round(vrep["tflops_per_sec"], 2),
+        dts = steady_state_times(vstep, (vparams, vopt), n1=5, n2=20,
+                                 repeats=reps)
+        sv = spread(dts)
+        vrep_med = step_report(vmodel.cfg_shape_net, vmodel.cfg_parameter_net,
+                               G, P, sv["med"], peak_tflops=peak)
+        row = {
+            "points_per_sec": round(G * P / sv["med"], 1),
+            "tflops_per_sec": round(vrep_med["tflops_per_sec"], 2),
         }
+        row.update(ms_fields("step", sv))
         if peak is not None:
-            mxu_table[vname]["mxu_utilization"] = round(
-                vrep["mxu_utilization"], 4)
+            # headline utilization from the MEDIAN repeat; _min is the
+            # WORST repeat (conservative), _max the best
+            for suffix, dt_v in (("", sv["med"]), ("_min", sv["max"]),
+                                 ("_max", sv["min"])):
+                r = step_report(vmodel.cfg_shape_net,
+                                vmodel.cfg_parameter_net, G, P, dt_v,
+                                peak_tflops=peak)
+                row["mxu_utilization" + suffix] = round(
+                    r["mxu_utilization"], 4)
+        mxu_table[vname] = row
 
     # --------- NIF-linear fused train path (u = phi(x).a + b, tutorial 3) --
     lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
@@ -221,8 +261,10 @@ def main():
             return (optax.apply_updates(p, updates), o2), loss
         return step
 
-    dt_lin = steady_state_time(lin_step(True), (lp, lo))
-    dt_lin_xla = steady_state_time(lin_step(False), (lp, lo), n1=5, n2=20)
+    dt_lin = float(np.median(steady_state_times(lin_step(True), (lp, lo),
+                                                repeats=3)))
+    dt_lin_xla = float(np.median(steady_state_times(
+        lin_step(False), (lp, lo), n1=5, n2=20, repeats=2)))
     pps_lin = G * P / dt_lin
 
     # ----------------- serving: forward-only (fused kernel) ----------------
@@ -234,8 +276,29 @@ def main():
         acc = jnp.mean(pred.astype(jnp.float32))
         return (params, acc), acc
 
-    dt_inf = steady_state_time(infer_step, (params, jnp.zeros(())))
+    dt_inf = float(np.median(steady_state_times(
+        infer_step, (params, jnp.zeros(())), repeats=3)))
     pps_inf = G * P / dt_inf
+
+    # -------- serving module fast path: the EXPORTED grouped artifact ------
+    # (VERDICT r3 weak #2 / item 3): serve the fused forward from a
+    # serialized StableHLO artifact — serving-path pts/s must sit within
+    # ~10% of infer_points_per_sec_per_chip.
+    from nif_tpu.serving import export_apply, load_exported
+
+    blob = export_apply(model, params, batch_size=P, layout="grouped",
+                        group_batch=G)
+    served = load_exported(blob)
+
+    def serve_step(state):
+        acc = state
+        pred = served(t + acc * 1e-9, x)
+        acc = jnp.mean(pred.astype(jnp.float32))
+        return acc, acc
+
+    dt_serve = float(np.median(steady_state_times(
+        serve_step, jnp.zeros(()), repeats=3)))
+    pps_serve = G * P / dt_serve
 
     # -------- ROM decode: shared fixed mesh, phi amortized over snapshots --
     # The tutorial-11 serving pattern: decode many latent snapshots onto ONE
@@ -256,8 +319,44 @@ def main():
         return (p, acc), acc
 
     # steps are sub-ms: long scans (n2=160) keep the measurement stable
-    dt_rom = steady_state_time(rom_step, (lp, jnp.zeros(())), n1=40, n2=160)
+    dt_rom = float(np.median(steady_state_times(
+        rom_step, (lp, jnp.zeros(())), n1=40, n2=160, repeats=3)))
     pps_rom = G_rom * P_rom / dt_rom
+
+    # -------- int8-EXECUTING ROM decode (VERDICT r3 item 7) ----------------
+    # phi(x) pre-quantized per output channel; a(t) quantized per snapshot
+    # in-kernel; contraction runs int8 x int8 -> int32 on the MXU. Same
+    # shapes as the f32 decode above, but the mesh pack is fixed (the
+    # serving scenario), so only a(t) varies per step.
+    from nif_tpu.compression import quantize_shared_mesh, rom_decode_int8
+
+    pack = quantize_shared_mesh(lin, lp, x_rom)
+
+    def rom8_step(state):
+        p, acc = state
+        pred = rom_decode_int8(lin, p, pack, t_rom + acc * 1e-9)
+        acc = jnp.mean(pred.astype(jnp.float32))
+        return (p, acc), acc
+
+    dt_rom8 = float(np.median(steady_state_times(
+        rom8_step, (lp, jnp.zeros(())), n1=40, n2=160, repeats=3)))
+    pps_rom8 = G_rom * P_rom / dt_rom8
+
+    # f32 decode on the SAME fixed mesh for an apples-to-apples speedup
+    phi_fixed = jnp.asarray(lin.x_to_phi(lp, x_rom))
+
+    def romf_step(state):
+        p, acc = state
+        from nif_tpu.models.parameter_net import parameter_net_apply
+
+        a, _ = parameter_net_apply(p["pnet"], t_rom + acc * 1e-9,
+                                   lin.cfg_parameter_net, lin.pnet_kind)
+        pred = jnp.einsum("pok,gk->gpo", phi_fixed, a)
+        acc = jnp.mean(pred.astype(jnp.float32))
+        return (p, acc), acc
+
+    dt_romf = float(np.median(steady_state_times(
+        romf_step, (lp, jnp.zeros(())), n1=40, n2=160, repeats=3)))
 
     # -------- derivative paths: fused (y, dy/dx) eval + Sobolev train core --
     # XLA-path ratios are documented in PARITY.md (7.3x / 2.9x) — only the
@@ -273,7 +372,8 @@ def main():
             jac.astype(jnp.float32))
         return (p, acc), acc
 
-    dt_jac = steady_state_time(jac_step, (params, jnp.zeros(())), repeats=2)
+    dt_jac = float(np.median(steady_state_times(
+        jac_step, (params, jnp.zeros(())), repeats=2)))
 
     jt = jnp.asarray(rng.standard_normal((G, P, 1, 3)), jnp.float32)
 
@@ -285,12 +385,32 @@ def main():
         updates, o = tx.update(grads, o, p)
         return (optax.apply_updates(p, updates), o), total
 
-    dt_sob = steady_state_time(sob_step, (params, tx.init(params)),
-                               n1=5, n2=20, repeats=2)
+    dt_sob = float(np.median(steady_state_times(
+        sob_step, (params, tx.init(params)), n1=5, n2=20, repeats=2)))
+
+    # -------- second-order (Hessian-target) Sobolev training at scale ------
+    # (VERDICT r3 item 4): nested-jacfwd XLA formulation — ~13 forward
+    # equivalents per point at si=3 plus the reverse sweep, so the scale is
+    # P=8192/group (262k points/step).
+    P_h = 8192
+    x_h, u_h = x[:, :P_h], u[:, :P_h]
+    jt_h = jt[:, :P_h]
+    ht = jnp.asarray(rng.standard_normal((G, P_h, 1, 3, 3)), jnp.float32)
+
+    def hess_step(state):
+        p, o = state
+        total, _terms, grads = model.sobolev_value_and_grad(
+            p, t, x_h, u_h, target_jac=jt_h, target_hess=ht,
+            w_jac=0.1, w_hess=0.01,
+        )
+        updates, o = tx.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o), total
+
+    dt_hess = float(np.median(steady_state_times(
+        hess_step, (params, tx.init(params)), n1=3, n2=12, repeats=2)))
 
     extra = {
         "device_kind": kind,
-        "step_ms": round(dt_grouped * 1e3, 4),
         "tflops_per_sec": round(report["tflops_per_sec"], 2),
         "pnet_fraction": round(report["pnet_fraction"], 4),
         "pointwise_baseline_batch": best_B,
@@ -298,10 +418,16 @@ def main():
         "niflinear_train_points_per_sec_per_chip": round(pps_lin, 1),
         "niflinear_vs_xla_path": round(dt_lin_xla / dt_lin, 2),
         "infer_points_per_sec_per_chip": round(pps_inf, 1),
+        "serving_points_per_sec_per_chip": round(pps_serve, 1),
+        "serving_vs_infer": round(pps_serve / pps_inf, 3),
         "rom_decode_points_per_sec_per_chip": round(pps_rom, 1),
+        "int8_rom_decode_points_per_sec_per_chip": round(pps_rom8, 1),
+        "int8_vs_f32_fixed_mesh_decode": round(dt_romf / dt_rom8, 2),
         "jacobian_eval_points_per_sec_per_chip": round(G * P / dt_jac, 1),
         "sobolev_train_points_per_sec_per_chip": round(G * P / dt_sob, 1),
+        "hessian_train_points_per_sec_per_chip": round(G * P_h / dt_hess, 1),
     }
+    extra.update(ms_fields("step", s_grouped))
     if peak is not None:
         extra["mxu_utilization"] = round(report["mxu_utilization"], 4)
         extra["peak_tflops_bf16"] = peak
