@@ -382,9 +382,18 @@ def main():
 
     pack = quantize_shared_mesh(lin, lp, x_rom)
 
+    # Both fixed-mesh paths MATERIALIZE the decoded field
+    # (optimization_barrier) before the reduction: without it XLA fuses
+    # the mean into the contraction and never writes the [G, P, so]
+    # output, so the "decode" measured only phi-read bandwidth — which
+    # inverted the int8 ratio (f32 reads 16.9 MB of phi, int8 4.2 MB +
+    # quant/dot overhead). A real serving decode hands the field to the
+    # caller; charging the output write in BOTH paths is the
+    # apples-to-apples comparison (probe: scripts/r4_int8_probe.py).
     def rom8_step(state):
         p, acc = state
         pred = rom_decode_int8(lin, p, pack, t_rom + acc * 1e-9)
+        pred = jax.lax.optimization_barrier(pred)
         acc = jnp.mean(pred.astype(jnp.float32))
         return (p, acc), acc
 
@@ -406,6 +415,7 @@ def main():
         a, _ = parameter_net_apply(p["pnet"], t_rom + acc * 1e-9,
                                    lin.cfg_parameter_net, lin.pnet_kind)
         pred = jnp.einsum("pok,gk->gpo", phi_fixed, a)
+        pred = jax.lax.optimization_barrier(pred)
         acc = jnp.mean(pred.astype(jnp.float32))
         return (p, acc), acc
 
