@@ -38,6 +38,51 @@ __all__ = [
 ]
 
 
+def _serving_fn(model, layout: str):
+    """The jit-compiled callable for one (model, layout) — built once and
+    cached ON the model object.
+
+    Round-4 review (weak #1): each ``predict*`` call used to build a fresh
+    ``jax.jit(lambda ...)``; JAX's trace cache is keyed on the wrapper
+    object, so every serving call paid a retrace (and, without a
+    persistent compilation cache, a recompile). Caching the jitted
+    callable per layout makes the second call — and every per-request call
+    a server makes — hit the C++ fast path. The cache lives in the model's
+    ``__dict__`` (not a module-global dict keyed by id(model)) so it is
+    garbage-collected with the model and cannot alias a recycled id.
+    """
+    cache = model.__dict__.setdefault("_serving_jit_cache", {})
+    fn = cache.get(layout)
+    if fn is None:
+        if layout == "pointwise":
+            fn = jax.jit(lambda p, inp: model.apply(p, inp))
+        elif layout == "grouped":
+            fn = jax.jit(lambda p, tb, xb: model.apply_grouped(p, tb, xb))
+        elif layout == "shared_mesh":
+            fn = jax.jit(lambda p, tb, xb: model.apply_shared_mesh(p, tb, xb))
+        elif layout == "shared_mesh_int8":
+            from ..compression import rom_decode_int8
+
+            # the pack's "shape" entry is a static python tuple that can't
+            # ride through jit as an argument — rebuild it from the array
+            # shapes (static under tracing) inside the jitted fn
+            def _int8_call(p, q_phi, s_phi, bias, tb):
+                so = bias.shape[0]
+                pack = {
+                    "q_phi": q_phi, "s_phi": s_phi, "bias": bias,
+                    "shape": (q_phi.shape[0] // so, so, q_phi.shape[1]),
+                }
+                return rom_decode_int8(model, p, pack, tb)
+
+            jfn = jax.jit(_int8_call)
+            fn = lambda p, pack, tb: jfn(  # noqa: E731
+                p, pack["q_phi"], pack["s_phi"], pack["bias"], tb)
+        else:
+            raise ValueError(f"unknown serving layout {layout!r}")
+        cache[layout] = fn
+    return fn
+
+
 def _pad_axis(a: np.ndarray, axis: int, multiple: int):
     """Pad ``axis`` up to a multiple with copies of the last slice."""
     n = a.shape[axis]
@@ -64,7 +109,7 @@ def predict(
     inputs = np.asarray(inputs)
     n = inputs.shape[0]
     batch_size = min(batch_size, max(n, 1))
-    fn = jax.jit(model.apply)
+    fn = _serving_fn(model, "pointwise")
     outs = []
     for s in range(0, n, batch_size):
         chunk = inputs[s : s + batch_size]
@@ -106,7 +151,7 @@ def predict_grouped(
         raise ValueError(f"t has {t.shape[0]} groups but x has {G}")
     xp, _ = _pad_axis(x, 1, point_pad)
     group_batch = min(group_batch, max(G, 1))
-    fn = jax.jit(lambda p, tb, xb: model.apply_grouped(p, tb, xb))
+    fn = _serving_fn(model, "grouped")
     outs = []
     for s in range(0, G, group_batch):
         tc, xc = t[s:s + group_batch], xp[s:s + group_batch]
@@ -126,9 +171,10 @@ def predict_shared_mesh(
     model,
     params,
     t: np.ndarray,
-    x: np.ndarray,
+    x: np.ndarray = None,
     group_batch: int = 256,
     point_pad: int = 256,
+    int8_pack=None,
 ) -> np.ndarray:
     """ROM-decode serving: many parameter snapshots ``t [G, p]`` onto ONE
     shared coordinate mesh ``x [P, si]`` -> ``u [G, P, so]``.
@@ -137,6 +183,13 @@ def predict_shared_mesh(
     once per call and the per-snapshot reconstruction collapses to a
     single large MXU matmul — the fastest decode path in the library
     (~24B pts/s/chip measured; see docs/PERFORMANCE.md).
+
+    ``int8_pack`` (from :func:`~nif_tpu.compression.quantize_shared_mesh`,
+    round-4 review item 3): run the decode as an int8×int8→int32 MXU
+    matmul instead — the measured ~1.26× faster compressed serving path
+    (tutorial-7 deployment, reference README.md:228-230). The pack bakes
+    ``phi(x)``, so ``x`` may be omitted; when both are given the pack must
+    have been built on the same mesh (shape-checked).
     """
     if not hasattr(model, "apply_shared_mesh"):
         raise TypeError(
@@ -145,14 +198,38 @@ def predict_shared_mesh(
             "for hypernetwork-generated ShapeNets"
         )
     t = np.asarray(t, np.float32)
+    G = t.shape[0]
+    if int8_pack is not None:
+        P = int8_pack["shape"][0]
+        if x is not None and np.asarray(x).shape[0] != P:
+            raise ValueError(
+                f"int8_pack was built for a {P}-point mesh but x has "
+                f"{np.asarray(x).shape[0]} points — rebuild the pack with "
+                f"quantize_shared_mesh(model, params, x)"
+            )
+        fn = _serving_fn(model, "shared_mesh_int8")
+        group_batch = min(group_batch, max(G, 1))
+        outs = []
+        for s in range(0, G, group_batch):
+            tc = t[s:s + group_batch]
+            g = tc.shape[0]
+            if g < group_batch:
+                tc, _ = _pad_axis(tc, 0, group_batch)
+            out = np.asarray(fn(params, int8_pack, jnp.asarray(tc)))
+            outs.append(out[:g])
+        if outs:
+            return np.concatenate(outs)
+        return np.zeros((0, P, model.so_dim), np.float32)
+    if x is None:
+        raise ValueError("predict_shared_mesh needs x (or an int8_pack)")
     x = np.asarray(x, np.float32)
     if x.ndim != 2:
         raise ValueError(f"x must be [P, si] (one shared mesh), got {x.shape}")
-    G, P = t.shape[0], x.shape[0]
+    P = x.shape[0]
     xp, _ = _pad_axis(x, 0, point_pad)
     xd = jnp.asarray(xp)
     group_batch = min(group_batch, max(G, 1))
-    fn = jax.jit(lambda p, tb, xb: model.apply_shared_mesh(p, tb, xb))
+    fn = _serving_fn(model, "shared_mesh")
     outs = []
     for s in range(0, G, group_batch):
         tc = t[s:s + group_batch]
@@ -175,6 +252,7 @@ def export_apply(
     platforms=None,
     layout: str = "pointwise",
     group_batch: int = 1,
+    int8_pack=None,
 ) -> bytes:
     """Serialize the model's serving function with baked-in params to
     StableHLO.
@@ -192,6 +270,11 @@ def export_apply(
       ``apply_grouped`` (the fused forward kernel on TPU artifacts)
     * ``"shared_mesh"`` — ``f(t [group_batch, pi], x [batch_size, si])``
       via ``apply_shared_mesh`` (NIF-linear ROM decode)
+    * ``"shared_mesh_int8"`` — ``f(t [group_batch, pi])`` with the
+      pre-quantized mesh pack (``int8_pack=`` from
+      :func:`~nif_tpu.compression.quantize_shared_mesh`) baked into the
+      artifact: the decode executes int8×int8→int32 on the MXU
+      (``batch_size`` is ignored — the pack fixes the mesh)
     """
     if layout == "pointwise":
         d_in = model.pi_dim + model.si_dim
@@ -221,6 +304,21 @@ def export_apply(
         avals = (
             jax.ShapeDtypeStruct((group_batch, model.pi_dim), jnp.float32),
             jax.ShapeDtypeStruct((batch_size, model.si_dim), jnp.float32),
+        )
+    elif layout == "shared_mesh_int8":
+        if int8_pack is None:
+            raise ValueError(
+                "layout='shared_mesh_int8' needs int8_pack= (build it with "
+                "nif_tpu.compression.quantize_shared_mesh on the serving "
+                "mesh)"
+            )
+        from ..compression import rom_decode_int8
+
+        def serve_fn(t):
+            return rom_decode_int8(model, params, int8_pack, t)
+
+        avals = (
+            jax.ShapeDtypeStruct((group_batch, model.pi_dim), jnp.float32),
         )
     else:
         raise ValueError(f"unknown layout {layout!r}")

@@ -117,6 +117,86 @@ def test_predict_shared_mesh_matches_pointwise():
         predict_shared_mesh(other, other.init(jax.random.key(0)), t, x)
 
 
+def test_predict_paths_never_retrace():
+    """Round-4 review (weak #1): every ``predict*`` entry point must reuse
+    ONE jit-compiled callable per (model, layout) — the second and every
+    later serving call hits jit's C++ fast path instead of paying a
+    retrace. Asserted via the cached callable's trace-cache size and by
+    counting how many times tracing enters the model's apply."""
+    from nif_tpu.serving import predict_grouped, predict_shared_mesh
+    from nif_tpu.serving.export import _serving_fn
+
+    model = nif_tpu.NIFMultiScale(MS_CFG_S, MS_CFG_P)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(3)
+    traces = {"n": 0}
+    orig_apply = model.__class__.apply
+
+    def counting_apply(self, *a, **k):
+        traces["n"] += 1
+        return orig_apply(self, *a, **k)
+
+    model.apply = counting_apply.__get__(model)
+    inputs = rng.standard_normal((300, 2)).astype(np.float32)
+    for _ in range(3):
+        predict(model, params, inputs, batch_size=128)
+    assert traces["n"] == 1  # one trace, three calls
+    assert _serving_fn(model, "pointwise")._cache_size() == 1
+
+    G, P = 3, 256
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 1)).astype(np.float32)
+    for _ in range(3):
+        predict_grouped(model, params, t, x, group_batch=4)
+    assert _serving_fn(model, "grouped")._cache_size() == 1
+
+    lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        dict(MS_CFG_S, connectivity="last_layer"), MS_CFG_P)
+    lp = lin.init(jax.random.key(1))
+    xm = rng.standard_normal((P, 1)).astype(np.float32)
+    for _ in range(3):
+        predict_shared_mesh(lin, lp, t, xm, group_batch=4)
+    assert _serving_fn(lin, "shared_mesh")._cache_size() == 1
+
+
+def test_predict_shared_mesh_int8_and_export(tmp_path):
+    """The executed-int8 decode is reachable from the serving surface
+    (round-4 review item 3): predict_shared_mesh(int8_pack=...) matches
+    the f32 decode to quantization tolerance, and the int8 artifact
+    exports/reloads without nif_tpu model code."""
+    from nif_tpu.compression import quantize_shared_mesh
+    from nif_tpu.serving import predict_shared_mesh
+
+    lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        dict(MS_CFG_S, connectivity="last_layer"), MS_CFG_P)
+    lp = lin.init(jax.random.key(2))
+    rng = np.random.default_rng(4)
+    G, P = 5, 96
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((P, 1)).astype(np.float32)
+    pack = quantize_shared_mesh(lin, lp, x)
+
+    f32 = predict_shared_mesh(lin, lp, t, x, group_batch=2)
+    i8 = predict_shared_mesh(lin, lp, t, int8_pack=pack, group_batch=2)
+    assert i8.shape == f32.shape
+    scale = max(np.max(np.abs(f32)), 1e-6)
+    assert np.max(np.abs(i8 - f32)) / scale < 0.05  # int8 tolerance
+
+    # pack/mesh mismatch is loud
+    with pytest.raises(ValueError, match="int8_pack"):
+        predict_shared_mesh(lin, lp, t, x[: P // 2], int8_pack=pack)
+
+    # exported int8 artifact: params + pack baked in, f(t) only
+    blob = export_apply(lin, lp, batch_size=P, layout="shared_mesh_int8",
+                        group_batch=G, int8_pack=pack,
+                        path=str(tmp_path / "int8.stablehlo"))
+    fn = load_exported(blob)
+    out = np.asarray(fn(t))
+    np.testing.assert_allclose(out, i8, rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="int8_pack"):
+        export_apply(lin, lp, batch_size=P, layout="shared_mesh_int8")
+
+
 def test_export_grouped_and_shared_mesh_roundtrip(tmp_path):
     """Exported grouped / shared-mesh artifacts reload WITHOUT nif_tpu
     model code and reproduce the library outputs."""
