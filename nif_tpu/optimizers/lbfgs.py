@@ -323,26 +323,76 @@ class LBFGS:
         return {"iteration": np.arange(1, len(h) + 1), "loss": h}
 
 
+def _diffable_scalar(vg_fn):
+    """Wrap a hand-assembled ``params -> (value, grads)`` function as a
+    DIFFERENTIABLE scalar function of params.
+
+    The fused Pallas train kernels compute loss AND gradient in one pass
+    (``mse_value_and_grad``/``sobolev_value_and_grad``) but are not
+    themselves differentiable, so a plain ``jax.value_and_grad`` objective
+    can't use them. This custom_vjp makes the pair LOOK like an ordinary
+    scalar objective: the forward runs the single fused pass and stashes
+    the gradient as the residual; the backward just scales it by the
+    incoming cotangent. ``optax.value_and_grad_from_state`` then drives
+    L-BFGS entirely through the fused kernels (round-4 review item 3 —
+    the grouped objective used to hardcode the ~6.5x-slower XLA path).
+
+    Batch data rides as EXPLICIT arguments (``*data``), not closure
+    captures: a custom_vjp closing over ``fori_loop`` body tracers leaks
+    them (UnexpectedTracerError). Data cotangents are zeros — the batch
+    is constant w.r.t. the optimization.
+    """
+
+    @jax.custom_vjp
+    def f(params, *data):
+        return vg_fn(params, *data)[0]
+
+    def fwd(params, *data):
+        v, g = vg_fn(params, *data)
+        return v, (g, data)
+
+    def bwd(res, ct):
+        g_saved, data = res
+        dp = jax.tree_util.tree_map(
+            lambda x: (ct * x).astype(x.dtype), g_saved)
+        return (dp,) + tuple(
+            None if d is None else jnp.zeros_like(d) for d in data)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 class GroupedLBFGS(LBFGS):
     """Full-batch L-BFGS over the GROUPED layout — the fine-tuning stage
     composing with ``GroupedTrainer``'s flagship layout, with optional
-    Sobolev derivative targets (VERDICT r3 item 6; reference
-    nif/optimizers/lbfgs.py:52-85 + tutorial 8).
+    Sobolev first- AND second-order derivative targets (VERDICT r3 item 6
+    + r4 item 5; reference nif/optimizers/lbfgs.py:52-85 + tutorial 8).
 
     The objective matches the trainers' exactly:
     ``w_value * mean(weight * (u_pred - u)^2)
     [+ w_jac * mean(weight * (du/dx - target_jac)^2)]
+    [+ w_hess * mean(weight * (d2u/dx2 - target_hess)^2)]
     [+ regularization]`` — so a grouped Adam run and its L-BFGS fine-tune
-    optimize the SAME function.
+    optimize the SAME function. It is built directly on the models'
+    ``mse_value_and_grad`` / ``sobolev_value_and_grad`` through a
+    custom-VJP scalar wrapper, so on TPU the objective evaluation runs
+    the single-pass fused Pallas train kernels (round-4 review item 3);
+    f64 fine-tuning (``minimize(dtype="float64")``) automatically stays
+    on the XLA path (the kernels are f32/bf16).
 
     Args:
       t, x, u: grouped arrays ``[G, p]``, ``[G, P, si]``, ``[G, P, so]``.
       weight: optional ``[G, P]`` per-point weights.
       target_jac: optional ``[G, P, so, si]`` Sobolev derivative targets.
+      target_hess: optional ``[G, P, so, si, si]`` second-order targets
+        (HessianLayer semantics, reference nif/layers/gradient.py:234-261).
+      fused: force the kernel path (True — e.g. interpret mode on CPU for
+        tests) or the XLA path (False); default None auto-selects like the
+        trainers (fused on TPU when supported, except under f64 params).
       chunk_groups: evaluate the objective by ACCUMULATION over fixed-size
         group chunks inside a ``lax.fori_loop`` — only one chunk of
-        activations (and Jacobian tangents) is ever live, so datasets far
-        beyond one forward pass fit. Mathematically identical to the
+        activations (and derivative tangents) is ever live, so datasets
+        far beyond one forward pass fit. Mathematically identical to the
         in-memory objective (zero-weight padded groups; batch-mean reg
         terms accumulate exactly via ``reg_weight`` rows).
       mesh: optionally shard each chunk's group axis over the mesh's batch
@@ -350,9 +400,10 @@ class GroupedLBFGS(LBFGS):
     """
 
     def __init__(self, model, t, x, u, weight=None, target_jac=None,
-                 reg: bool = True, w_value: float = 1.0, w_jac: float = 1.0,
+                 target_hess=None, reg: bool = True, w_value: float = 1.0,
+                 w_jac: float = 1.0, w_hess: float = 1.0,
                  display_epoch: int = 0, chunk_groups: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, fused: Optional[bool] = None):
         self.model = model
         self.display_epoch = display_epoch
         self._base_loss = None
@@ -360,7 +411,8 @@ class GroupedLBFGS(LBFGS):
         self._history = []
         self.chunk_size = None  # base-class point-wise chunking unused
         self.mesh = mesh
-        self.w_value, self.w_jac = w_value, w_jac
+        self.w_value, self.w_jac, self.w_hess = w_value, w_jac, w_hess
+        self._fused = fused
 
         def _to_f(a):
             a = np.asarray(a)
@@ -369,20 +421,27 @@ class GroupedLBFGS(LBFGS):
         t, x, u = _to_f(t), _to_f(x), _to_f(u)
         G, P, si = x.shape
         so = u.shape[-1]
-        w = (np.ones((G, P), np.float32) if weight is None
-             else _to_f(weight).reshape(G, P))
+        w = None if weight is None else _to_f(weight).reshape(G, P)
         tj = None if target_jac is None else _to_f(target_jac)
         if tj is not None and tj.shape != (G, P, so, si):
             raise ValueError(
                 f"GroupedLBFGS: target_jac shape {tj.shape} != "
                 f"{(G, P, so, si)} (full [G, P, so, si] targets only)"
             )
+        th = None if target_hess is None else _to_f(target_hess)
+        if th is not None and th.shape != (G, P, so, si, si):
+            raise ValueError(
+                f"GroupedLBFGS: target_hess shape {th.shape} != "
+                f"{(G, P, so, si, si)} (full [G, P, so, si, si] targets "
+                f"only)"
+            )
         self._n_real_groups = G
         self.chunk_groups = chunk_groups
         if chunk_groups is None:
-            self._data = (jnp.asarray(t), jnp.asarray(x), jnp.asarray(u),
-                          jnp.asarray(w),
-                          None if tj is None else jnp.asarray(tj))
+            j = jnp.asarray
+            self._data = (j(t), j(x), j(u), None if w is None else j(w),
+                          None if tj is None else j(tj),
+                          None if th is None else j(th))
             return
         if mesh is not None:
             from ..parallel.mesh import batch_axis_size
@@ -390,6 +449,8 @@ class GroupedLBFGS(LBFGS):
             chunk_groups += (-chunk_groups) % batch_axis_size(mesh)
             self.chunk_groups = chunk_groups
         pad = (-G) % chunk_groups
+        if w is None:
+            w = np.ones((G, P), np.float32)
         if pad:
             def padg(a):
                 return np.concatenate(
@@ -399,6 +460,8 @@ class GroupedLBFGS(LBFGS):
             w = np.concatenate([w, np.zeros((pad, P), np.float32)])
             if tj is not None:
                 tj = padg(tj)
+            if th is not None:
+                th = padg(th)
         # reg row weights: chunk-mean batch-reg terms accumulate to the
         # exact full-batch mean when rw = mask * chunk_groups / G_real
         rw = np.concatenate(
@@ -412,6 +475,8 @@ class GroupedLBFGS(LBFGS):
         arrs = [reshape(a) for a in (t, x, u, w, rw)]
         if tj is not None:
             arrs.append(reshape(tj))
+        if th is not None:
+            arrs.append(reshape(th))
         if mesh is None:
             self._chunks = tuple(jnp.asarray(a) for a in arrs)
         else:
@@ -422,67 +487,82 @@ class GroupedLBFGS(LBFGS):
             sh = NamedSharding(mesh, Pspec(None, batch_axes(mesh)))
             self._chunks = tuple(jax.device_put(a, sh) for a in arrs)
         self._has_jac = tj is not None
+        self._has_hess = th is not None
 
-    def _term_sums(self, params, t, x, u, w, tj):
-        """(value_sq_sum, jac_sq_sum) with ``w`` folded in — the shared
-        building block of the in-memory and chunked objectives."""
-        if tj is None:
-            pred = self.model.apply_grouped(params, t, x, fused=False)
-            jac = None
-        else:
-            from ..ops.derivatives import output_and_jacobian_grouped
+    def _fused_flag(self, params):
+        """Effective ``fused`` for this evaluation: the user's override if
+        given, forced-XLA under f64 params (the kernels are f32/bf16),
+        else None — the models' own TPU auto-selection."""
+        if self._fused is not None:
+            return self._fused
+        if any(jnp.result_type(leaf) == jnp.float64
+               for leaf in jax.tree_util.tree_leaves(params)):
+            return False
+        return None
 
-            pred, jac = output_and_jacobian_grouped(
-                self.model, params, t, x, fused=False)
-        err = jnp.square(pred - u.astype(pred.dtype))
-        vsum = jnp.sum(err * w[..., None].astype(pred.dtype))
-        jsum = jnp.zeros((), vsum.dtype)
-        if tj is not None:
-            jerr = jnp.square(jac - tj.astype(jac.dtype))
-            jsum = jnp.sum(jerr * w[..., None, None].astype(jac.dtype))
-        return vsum, jsum
+    def _chunk_value_and_grad(self, params, t, x, u, w, tj, th,
+                              use_reg: bool):
+        """(loss, grads) of one batch's objective via the models' fused
+        (or XLA-fallback) hand-assembled value_and_grad."""
+        fused = self._fused_flag(params)
+        if tj is None and th is None:
+            return self.model.mse_value_and_grad(
+                params, t, x, u, weight=w, fused=fused, use_reg=use_reg)
+        total, _terms, grads = self.model.sobolev_value_and_grad(
+            params, t, x, u, target_jac=tj, target_hess=th,
+            w_value=self.w_value, w_jac=self.w_jac, w_hess=self.w_hess,
+            weight=w, fused=fused, use_reg=use_reg)
+        return total, grads
 
     def _objective(self, params):
-        G_r = self._n_real_groups
         if self.chunk_groups is None:
-            t, x, u, w, tj = self._data
-            _, P, si = x.shape
-            so = u.shape[-1]
-            vsum, jsum = self._term_sums(params, t, x, u, w, tj)
-            loss = self.w_value * vsum / (G_r * P * so)
-            if tj is not None:
-                loss = loss + self.w_jac * jsum / (G_r * P * so * si)
+            t, x, u, w, tj, th = self._data
+            scale = 1.0 if (tj is not None or th is not None) \
+                else self.w_value
+            loss = _diffable_scalar(
+                lambda p, *d: self._chunk_value_and_grad(
+                    p, *d, use_reg=False)
+            )(params, t, x, u, w, tj, th) * scale
             if self._reg and self.model.has_regularization:
                 loss = loss + self.model.regularization_loss(params, t=t)
             return loss
 
         chunks = self._chunks
-        tj_c = chunks[5] if self._has_jac else None
+        idx = 5
+        tj_c = th_c = None
+        if self._has_jac:
+            tj_c = chunks[idx]
+            idx += 1
+        if self._has_hess:
+            th_c = chunks[idx]
         tC, xC, uC, wC, rwC = chunks[:5]
         C = tC.shape[0]
-        _, _, P, si = xC.shape
-        so = uC.shape[-1]
+        cG = tC.shape[1]
         has_batch_reg = self._reg and self.model.has_regularization
+        # per-chunk totals are chunk-MEANS; scaling by cG/G_real makes
+        # their sum the exact full-batch mean (padded groups carry w=0)
+        scale = cG / self._n_real_groups
+        if not (self._has_jac or self._has_hess):
+            scale = scale * self.w_value
 
         def body(i, acc):
-            vsum, jsum, rsum = acc
-            v, j = self._term_sums(
-                params, tC[i], xC[i], uC[i], wC[i],
-                None if tj_c is None else tj_c[i])
-            vsum = vsum + v.astype(vsum.dtype)
-            jsum = jsum + j.astype(jsum.dtype)
+            lsum, rsum = acc
+            li = _diffable_scalar(
+                lambda p, *d: self._chunk_value_and_grad(
+                    p, *d, use_reg=False)
+            )(params, tC[i], xC[i], uC[i], wC[i],
+              None if tj_c is None else tj_c[i],
+              None if th_c is None else th_c[i])
+            lsum = lsum + (li * scale).astype(lsum.dtype)
             if has_batch_reg:
                 rsum = rsum + self.model.regularization_loss(
                     params, t=tC[i], reg_weight=rwC[i], parts="batch"
                 ).astype(rsum.dtype)
-            return vsum, jsum, rsum
+            return lsum, rsum
 
         zero = jnp.zeros((), float)
-        vsum, jsum, rsum = jax.lax.fori_loop(
-            0, C, body, (zero, zero, zero))
-        loss = self.w_value * vsum / (G_r * P * so)
-        if self._has_jac:
-            loss = loss + self.w_jac * jsum / (G_r * P * so * si)
+        lsum, rsum = jax.lax.fori_loop(0, C, body, (zero, zero))
+        loss = lsum
         if self._reg and self.model.has_regularization:
             loss = loss + rsum + self.model.regularization_loss(
                 params, parts="params")

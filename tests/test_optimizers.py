@@ -341,6 +341,89 @@ def test_grouped_lbfgs_chunked_matches_in_memory():
         float(v_full._objective(params)), rel=1e-6)
 
 
+def _small_grouped_setup(act_reg=False, seed=0):
+    import nif_tpu
+
+    cfg_s = {"input_dim": 1, "output_dim": 1, "units": 16, "nlayers": 1,
+             "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+             "connectivity": "full", "weight_init_factor": 0.1}
+    cfg_p = {"input_dim": 1, "latent_dim": 2, "units": 16, "nlayers": 1,
+             "activation": "swish", "use_resblock": False, "omega_0": 30.0}
+    if act_reg:
+        cfg_p["act_l2_reg"] = 1e-3
+    model = nif_tpu.NIFMultiScale(cfg_s, cfg_p)
+    params = model.init(jax.random.key(seed))
+    rng = np.random.default_rng(seed)
+    G, P = 4, 256  # P divisible by the kernel tile
+    t = np.linspace(0, 1, G, dtype=np.float32)[:, None]
+    x = rng.uniform(-1, 1, (G, P, 1)).astype(np.float32)
+    phase = 2 * np.pi * (x[..., 0] - t)
+    u = np.sin(phase).astype(np.float32)[..., None]
+    ju = (2 * np.pi * np.cos(phase)).astype(np.float32)[..., None, None]
+    hu = (-(2 * np.pi) ** 2 * np.sin(phase)).astype(
+        np.float32)[..., None, None, None]
+    w = rng.uniform(0.5, 1.5, (G, P)).astype(np.float32)
+    return model, params, t, x, u, ju, hu, w
+
+
+def test_grouped_lbfgs_fused_objective_matches_xla():
+    """Round-4 review item 3: the grouped L-BFGS objective runs the fused
+    kernels. fused=True (interpret mode on CPU) must agree with the XLA
+    objective — value AND gradient — to kernel-parity tolerance, for both
+    the MSE and the Sobolev-jacobian objectives."""
+    from nif_tpu.optimizers import GroupedLBFGS
+
+    model, params, t, x, u, ju, hu, w = _small_grouped_setup()
+
+    for kwargs in (dict(), dict(target_jac=ju, w_jac=0.1),
+                   dict(weight=w), dict(target_jac=ju, weight=w)):
+        fused = GroupedLBFGS(model, t, x, u, fused=True, **kwargs)
+        xla = GroupedLBFGS(model, t, x, u, fused=False, **kwargs)
+        vf, gf = jax.value_and_grad(fused._objective)(params)
+        vx, gx = jax.value_and_grad(xla._objective)(params)
+        assert float(vf) == pytest.approx(float(vx), rel=1e-5), kwargs
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gx)):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+    # fused objective actually optimizes (interpret-mode kernels)
+    opt = GroupedLBFGS(model, t, x, u, fused=True)
+    l0 = float(opt._objective(params))
+    p1 = opt.minimize(params, rounds=1, max_iter=10)
+    assert float(opt._objective(p1)) < l0
+
+    # f64 fine-tuning auto-falls back to XLA (kernels are f32/bf16): the
+    # fused=None auto flag must not route f64 params into the kernel
+    auto = GroupedLBFGS(model, t, x, u)
+    p64 = auto.minimize(params, rounds=1, max_iter=3, dtype="float64")
+    leaf = jax.tree_util.tree_leaves(p64)[0]
+    assert leaf.dtype == np.float64
+
+
+def test_grouped_lbfgs_hessian_targets():
+    """Round-4 review item 5: GroupedLBFGS composes with second-order
+    targets — chunked == in-memory, and minimizing reduces the hessian
+    term."""
+    from nif_tpu.optimizers import GroupedLBFGS
+
+    model, params, t, x, u, ju, hu, w = _small_grouped_setup(act_reg=True)
+
+    mk = lambda **kw: GroupedLBFGS(
+        model, t, x, u, weight=w, target_jac=ju, target_hess=hu,
+        w_jac=0.1, w_hess=0.01, **kw)
+    full = mk()
+    chunked = mk(chunk_groups=3)  # non-dividing: 4 groups -> 2 chunks, pad
+    f0 = float(full._objective(params))
+    c0 = float(chunked._objective(params))
+    assert c0 == pytest.approx(f0, rel=1e-6), (f0, c0)
+
+    p1 = full.minimize(params, rounds=1, max_iter=10)
+    assert float(full._objective(p1)) < f0
+
+    with pytest.raises(ValueError, match="target_hess"):
+        GroupedLBFGS(model, t, x, u, target_hess=hu[..., 0])
+
+
 def test_grouped_lbfgs_rejects_bad_jac_shape():
     import nif_tpu
     from nif_tpu.optimizers import GroupedLBFGS
