@@ -230,10 +230,18 @@ def _train_grouped(args):
             "create it with GroupedDataset.create_from_arrays(..., "
             "target_jac=...)"
         )
+    hessian = getattr(args, "hessian", False)
+    if hessian and not ds.meta.get("hessian"):
+        raise SystemExit(
+            "--hessian: this grouped dataset has no second-order targets "
+            "— create it with GroupedDataset.create_from_arrays(..., "
+            "target_hess=...)"
+        )
 
     trainer = GroupedTrainer(model, get_optimizer(args.optimizer, args.lr),
                              mesh=mesh, seed=args.seed,
-                             w_jac=getattr(args, "w_jac", 1.0))
+                             w_jac=getattr(args, "w_jac", 1.0),
+                             w_hess=getattr(args, "w_hess", 1.0))
     if args.ckpt_dir:
         state = trainer.init_or_restore(jax.random.key(args.seed), args.ckpt_dir)
         if state.step:
@@ -249,15 +257,27 @@ def _train_grouped(args):
     use_reg = trainer.use_reg and model.has_regularization
     cur_epoch, last_loss = -1, None
 
+    # streamed residual sampling (round-4 review item 6): score each
+    # loaded shard window against the CURRENT params (read through this
+    # mutable box — the prefetch lookahead means scores can lag the step
+    # loop by a batch, which is harmless for a sampling distribution)
+    state_box = [None]
+    sampler = None
+    if getattr(args, "point_sampling", "uniform") == "residual":
+        sampler = lambda t_, x_, u_: trainer.residual_probs(  # noqa: E731
+            state_box[0], t_, x_, u_)
+
     def host_batches():
         """Dim-check + exact tail padding on host, ready for transfer."""
         checked = False
         for batch in ds.iter_batches(
             group_batch=group_batch, point_batch=point_batch,
             epochs=args.epochs, seed=args.seed, with_jac=sobolev,
+            with_hess=hessian, point_sampler=sampler,
         ):
             epoch, bt, bx, bu, bw = batch[:5]
-            bju = batch[5] if sobolev else None
+            bju = batch[5] if (sobolev or hessian) else None
+            bhu = batch[6] if hessian else None
             if not checked:
                 pi = cfg.parameter_net.input_dim
                 si, so = cfg.shape_net.input_dim, cfg.shape_net.output_dim
@@ -273,11 +293,15 @@ def _train_grouped(args):
             if b < group_batch or bw is not None:
                 # exact zero-weight padding: tail batches keep one
                 # executable shape and train every group (trainer.pad_batch)
-                arrs = (bt, bx, bu) + (() if bju is None else (bju,))
+                opts = [a for a in (bju, bhu) if a is not None]
+                arrs = (bt, bx, bu) + tuple(opts)
                 arrs, w_rows = pad_batch(arrs, None, b, group_batch)
                 bt, bx, bu = arrs[:3]
+                it = iter(arrs[3:])
                 if bju is not None:
-                    bju = arrs[3]
+                    bju = next(it)
+                if bhu is not None:
+                    bhu = next(it)
                 pb = bx.shape[1]
                 bw = (np.broadcast_to(w_rows[:, None], (group_batch, pb))
                       if bw is None
@@ -287,14 +311,15 @@ def _train_grouped(args):
                 bw = np.ascontiguousarray(bw, np.float32)
                 if use_reg:
                     rw = reg_row_weights(b, group_batch)
-            yield epoch, bt, bx, bu, bw, rw, bju
+            yield epoch, bt, bx, bu, bw, rw, bju, bhu
 
     # double-buffer: the NEXT batch transfers to device while the current
     # step runs — a streaming loop that hands trainer.step host arrays
     # serializes copy and compute instead
     from nif_tpu.data import prefetch_to_device
 
-    for epoch, bt, bx, bu, bw, rw, bju in prefetch_to_device(
+    state_box[0] = state
+    for epoch, bt, bx, bu, bw, rw, bju, bhu in prefetch_to_device(
         host_batches(), mesh=mesh
     ):
         if epoch != cur_epoch and cur_epoch >= 0:
@@ -303,7 +328,8 @@ def _train_grouped(args):
                 ckpt_cb.on_epoch_end(trainer, state, cur_epoch, {})
         cur_epoch = epoch
         state, loss = trainer.step(state, bt, bx, bu, bw, rw,
-                                   target_jac=bju)
+                                   target_jac=bju, target_hess=bhu)
+        state_box[0] = state
         last_loss = loss
     last_loss = float(last_loss)
     print(f"epoch {cur_epoch:5d}  loss {last_loss:.6e}")
@@ -328,8 +354,11 @@ def _train_grouped(args):
         ww = (np.concatenate([p["w"] for p in parts])
               if ds.meta.get("weighted") else None)
         jj = (np.concatenate([p["ju"] for p in parts]) if sobolev else None)
+        hh = (np.concatenate([p["hu"] for p in parts]) if hessian else None)
         tuner = GroupedLBFGS(model, tt, xx, uu, weight=ww, target_jac=jj,
+                             target_hess=hh,
                              w_jac=getattr(args, "w_jac", 1.0),
+                             w_hess=getattr(args, "w_hess", 1.0),
                              chunk_groups=group_batch, mesh=mesh)
         params = tuner.minimize(state.params, rounds=1,
                                 max_iter=args.lbfgs)
@@ -598,6 +627,16 @@ def main(argv=None):
                          "dataset must carry target_jac)")
     tp.add_argument("--w-jac", type=float, default=1.0,
                     help="jacobian MSE term weight under --sobolev")
+    tp.add_argument("--hessian", action="store_true",
+                    help="also train on second-order targets (grouped "
+                         "layout; dataset must carry target_hess)")
+    tp.add_argument("--w-hess", type=float, default=1.0,
+                    help="hessian MSE term weight under --hessian")
+    tp.add_argument("--point-sampling", choices=["uniform", "residual"],
+                    default="uniform",
+                    help="residual = hard-point mining: per-shard point "
+                         "subsamples proportional to the current squared "
+                         "residual (grouped layout)")
     tp.set_defaults(fn=_cmd_train)
 
     ep = sub.add_parser("eval", parents=[common])

@@ -252,12 +252,16 @@ class GroupedDataset:
         groups_per_file: int = 16,
         weight: Optional[np.ndarray] = None,
         target_jac: Optional[np.ndarray] = None,
+        target_hess: Optional[np.ndarray] = None,
         prefix: str = "snap",
     ) -> None:
         """``target_jac [G, P, so, si]`` (optional) stores per-point
         Jacobian targets alongside u — Sobolev training (tutorial-8
         semantics) as a streaming dataset; consumers opt in with
-        ``iter_batches(with_jac=True)``."""
+        ``iter_batches(with_jac=True)``. ``target_hess [G, P, so, si, si]``
+        (optional) adds second-order targets (HessianLayer semantics,
+        reference nif/layers/gradient.py:234-261) behind
+        ``with_hess=True``."""
         os.makedirs(out_path, exist_ok=True)
         G = t.shape[0]
         n_files = int(np.ceil(G / groups_per_file))
@@ -268,13 +272,16 @@ class GroupedDataset:
                 payload["w"] = weight[sl]
             if target_jac is not None:
                 payload["ju"] = target_jac[sl]
+            if target_hess is not None:
+                payload["hu"] = target_hess[sl]
             np.savez(os.path.join(out_path, f"{prefix}_{i}.npz"), **payload)
         with open(os.path.join(out_path, "meta.json"), "w") as f:
             json.dump(
                 {"n_groups": int(G), "points_per_group": int(x.shape[1]),
                  "groups_per_file": groups_per_file, "n_files": n_files,
                  "weighted": weight is not None,
-                 "sobolev": target_jac is not None},
+                 "sobolev": target_jac is not None,
+                 "hessian": target_hess is not None},
                 f,
             )
 
@@ -312,6 +319,8 @@ class GroupedDataset:
         prefetch: int = 2,
         drop_remainder: bool = False,
         with_jac: bool = False,
+        with_hess: bool = False,
+        point_sampler=None,
     ):
         """Yield ``(epoch, t, x, u, w)`` with a fresh point subsample per
         batch. Global epoch accounting, background shard prefetch. Tail
@@ -321,7 +330,22 @@ class GroupedDataset:
 
         ``with_jac=True`` (requires a dataset created with ``target_jac``)
         appends the subsampled Jacobian targets: ``(epoch, t, x, u, w,
-        ju)`` — the streaming form of Sobolev training."""
+        ju)`` — the streaming form of Sobolev training. ``with_hess=True``
+        (requires ``target_hess``) appends the second-order targets after
+        them: ``(..., ju, hu)`` (``ju`` is ``None`` in the tuple when only
+        ``with_hess`` is set).
+
+        ``point_sampler`` (optional, round-4 review item 6 — residual
+        sampling for data that does NOT fit in host memory): a callable
+        ``(t, x, u) -> probs [g, P]`` scoring each loaded shard window,
+        e.g. ``lambda t, x, u: trainer.residual_probs(state, t, x, u)``.
+        Point subsampling then draws without replacement proportionally to
+        the scores (Gumbel top-k) instead of uniformly — per-SHARD residual
+        refresh: the distribution is recomputed each time a shard window
+        is loaded (the current params at that moment are whatever the
+        closure reads), so hard-point mining composes with streaming at
+        zero extra host memory. Scoring runs on the consumer thread (it
+        needs the accelerator), not the prefetch thread."""
         if not self.files:
             raise ValueError("no shards opened")
         if with_jac and not self.meta.get("sobolev"):
@@ -329,6 +353,12 @@ class GroupedDataset:
                 "with_jac=True but this dataset has no Jacobian targets — "
                 "create it with GroupedDataset.create_from_arrays("
                 "..., target_jac=...)"
+            )
+        if with_hess and not self.meta.get("hessian"):
+            raise ValueError(
+                "with_hess=True but this dataset has no Hessian targets — "
+                "create it with GroupedDataset.create_from_arrays("
+                "..., target_hess=...)"
             )
         # numpy Generators are not thread-safe: the producer thread gets its
         # own spawned stream so concurrent use can't corrupt either.
@@ -341,16 +371,19 @@ class GroupedDataset:
                 for epoch in range(epochs):
                     for fi in prod_rng.permutation(len(self.files)):
                         with np.load(self.files[fi]) as z:
-                            # ju is so*si times the size of u — only pay
-                            # its decompression when the consumer asked
+                            # ju/hu are so*si(*si) times the size of u —
+                            # only pay their decompression when asked
+                            skip = ({"ju"} if not with_jac else set()) | (
+                                {"hu"} if not with_hess else set())
                             payload = {k: z[k] for k in z.files
-                                       if with_jac or k != "ju"}
+                                       if k not in skip}
                         q.put((epoch, payload))
             finally:
                 q.put(None)
 
         q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         threading.Thread(target=produce, args=(q,), daemon=True).start()
+        probs = None
         while True:
             item = q.get()
             if item is None:
@@ -359,19 +392,41 @@ class GroupedDataset:
             t, x, u = payload["t"], payload["x"], payload["u"]
             w = payload.get("w")
             ju = payload.get("ju") if with_jac else None
+            hu = payload.get("hu") if with_hess else None
+            if point_sampler is not None:
+                # scores are shard-local, so they refresh on every shard
+                # window load, against whatever params the closure reads
+                probs = np.asarray(point_sampler(t, x, u), np.float64)
+                if probs.shape != (t.shape[0], P):
+                    raise ValueError(
+                        f"point_sampler returned {probs.shape}, "
+                        f"expected {(t.shape[0], P)}"
+                    )
             g = t.shape[0]
             order = rng.permutation(g)
             end = g - group_batch + 1 if drop_remainder else g
             for s in range(0, max(end, 0), group_batch):
                 gsel = order[s : s + group_batch]
-                psel = rng.choice(P, size=point_batch, replace=False)
+                if probs is None:
+                    psel = rng.choice(P, size=point_batch, replace=False)
+                    take = lambda a: a[gsel][:, psel]  # noqa: E731
+                else:
+                    # per-group Gumbel top-k: [b, point_batch] hard points
+                    gmb = rng.gumbel(size=(len(gsel), P))
+                    keys = np.log(np.maximum(probs[gsel], 1e-300)) + gmb
+                    psel = np.argpartition(
+                        -keys, point_batch - 1, axis=1)[:, :point_batch]
+                    r2 = np.arange(len(gsel))[:, None]
+                    take = lambda a: a[gsel][r2, psel]  # noqa: E731
                 batch = (
                     epoch,
                     t[gsel],
-                    x[gsel][:, psel],
-                    u[gsel][:, psel],
-                    None if w is None else w[gsel][:, psel],
+                    take(x),
+                    take(u),
+                    None if w is None else take(w),
                 )
-                if with_jac:
-                    batch = batch + (ju[gsel][:, psel],)
+                if with_jac or with_hess:
+                    batch = batch + (None if ju is None else take(ju),)
+                if with_hess:
+                    batch = batch + (take(hu),)
                 yield batch

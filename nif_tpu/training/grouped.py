@@ -44,7 +44,8 @@ class GroupedTrainer:
                  mesh=None, use_reg: bool = True, seed: int = 0,
                  fused: Optional[bool] = None,
                  shard_model_axis: bool = False,
-                 w_value: float = 1.0, w_jac: float = 1.0):
+                 w_value: float = 1.0, w_jac: float = 1.0,
+                 w_hess: float = 1.0):
         """``fused=None`` (auto) uses the single-pass fused train kernel on
         TPU via ``model.mse_value_and_grad`` — forward + loss + backward in
         one pallas_call.
@@ -62,13 +63,17 @@ class GroupedTrainer:
         ``fit_resident`` / ``step`` and the loss becomes
         ``w_value*value_mse + w_jac*jacobian_mse`` through
         ``model.sobolev_value_and_grad`` (ONE fused Pallas pass on TPU,
-        reference nif/layers/gradient.py:207-231 at scale)."""
+        reference nif/layers/gradient.py:207-231 at scale). Second-order
+        targets (``target_hess [G, P, so, si, si]``, HessianLayer
+        semantics, reference nif/layers/gradient.py:234-261) add
+        ``+ w_hess*hessian_mse``."""
         self.model = model
         self.tx = optimizer
         self.mesh = mesh
         self.use_reg = use_reg
         self.w_value = w_value
         self.w_jac = w_jac
+        self.w_hess = w_hess
         self.shard_model_axis = shard_model_axis
         if shard_model_axis and (mesh is None or "model" not in mesh.axis_names):
             raise ValueError(
@@ -79,22 +84,23 @@ class GroupedTrainer:
         self._rng = np.random.default_rng(seed)
         self.history: Dict[str, List[float]] = {"epoch": [], "loss": []}
 
-        def local_vag(params, t, x, u, w, rw, ju):
-            if ju is None:
+        def local_vag(params, t, x, u, w, rw, ju, hu):
+            if ju is None and hu is None:
                 return model.mse_value_and_grad(
                     params, t, x, u, weight=w, fused=fused, use_reg=use_reg,
                     reg_weight=rw,
                 )
             total, _terms, grads = model.sobolev_value_and_grad(
-                params, t, x, u, target_jac=ju, w_value=self.w_value,
-                w_jac=self.w_jac, weight=w, fused=fused, use_reg=use_reg,
+                params, t, x, u, target_jac=ju, target_hess=hu,
+                w_value=self.w_value, w_jac=self.w_jac, w_hess=self.w_hess,
+                weight=w, fused=fused, use_reg=use_reg,
                 reg_weight=rw,
             )
             return total, grads
 
-        def value_and_grad(params, t, x, u, w, rw, ju=None):
+        def value_and_grad(params, t, x, u, w, rw, ju=None, hu=None):
             if mesh is None:
-                return local_vag(params, t, x, u, w, rw, ju)
+                return local_vag(params, t, x, u, w, rw, ju, hu)
             # Pallas kernels are opaque to GSPMD: under a mesh the fused
             # train kernel must run per-shard via shard_map, with the
             # gradient/loss mean over the data axis as explicit pmeans
@@ -111,8 +117,8 @@ class GroupedTrainer:
             axes = batch_axes(mesh)
             batch_spec = P(axes)
 
-            def local(params, t, x, u, w, rw, ju):
-                loss, grads = local_vag(params, t, x, u, w, rw, ju)
+            def local(params, t, x, u, w, rw, ju, hu):
+                loss, grads = local_vag(params, t, x, u, w, rw, ju, hu)
                 for ax in axes:
                     loss = jax.lax.pmean(loss, ax)
                     grads = jax.lax.pmean(grads, ax)
@@ -120,15 +126,17 @@ class GroupedTrainer:
 
             # shard_map in_specs can't take None pytrees for absent
             # optionals — pass only the present ones positionally.
-            present = [a for a in (w, rw, ju) if a is not None]
-            flags = (w is not None, rw is not None, ju is not None)
+            present = [a for a in (w, rw, ju, hu) if a is not None]
+            flags = (w is not None, rw is not None, ju is not None,
+                     hu is not None)
 
             def fn(p, t_, x_, u_, *opt):
                 it = iter(opt)
                 w_ = next(it) if flags[0] else None
                 rw_ = next(it) if flags[1] else None
                 ju_ = next(it) if flags[2] else None
-                return local(p, t_, x_, u_, w_, rw_, ju_)
+                hu_ = next(it) if flags[3] else None
+                return local(p, t_, x_, u_, w_, rw_, ju_, hu_)
 
             in_specs = (P(), batch_spec, batch_spec, batch_spec) + tuple(
                 batch_spec for _ in present
@@ -149,8 +157,10 @@ class GroupedTrainer:
         self._value_and_grad = value_and_grad
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(state: TrainState, t, x, u, w=None, rw=None, ju=None):
-            loss, grads = value_and_grad(state.params, t, x, u, w, rw, ju)
+        def step(state: TrainState, t, x, u, w=None, rw=None, ju=None,
+                 hu=None):
+            loss, grads = value_and_grad(state.params, t, x, u, w, rw, ju,
+                                         hu)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, opt_state, state.step + 1), loss
@@ -158,7 +168,7 @@ class GroupedTrainer:
         self._step = step
 
     def _record_path(self, P: int, si: int = None,
-                     sobolev: bool = False) -> None:
+                     sobolev: bool = False, hess: bool = False) -> None:
         """Record (once per mode) which compute path P-point group batches
         take — ``history["path"]``/``history["path_reason"]`` for MSE
         steps, ``history["sobolev_path"]``/``..._reason`` for Sobolev
@@ -170,8 +180,8 @@ class GroupedTrainer:
         if key in self.history:
             return
         if sobolev:
-            info = self.model.sobolev_path_info(P, si)
-            self.model._announce_sobolev_path(P, si)
+            info = self.model.sobolev_path_info(P, si, hess=hess)
+            self.model._announce_sobolev_path(P, si, hess=hess)
         else:
             info = self.model.fast_path_info(P)
             self.model._announce_path(P)
@@ -180,16 +190,20 @@ class GroupedTrainer:
             self.history[key + "_reason"] = info["reason"]
 
     def step(self, state: TrainState, t, x, u, w=None, rw=None,
-             target_jac=None):
+             target_jac=None, target_hess=None):
         """One jitted training step on a (t, x, u[, w]) group batch —
         for custom loops (e.g. streaming from GroupedDataset). Batches
         already placed on device (``data.prefetch_to_device``) pass
         through without a host round-trip. ``target_jac [Gb, Pb, so, si]``
-        switches the step to the Sobolev loss."""
+        switches the step to the Sobolev loss; ``target_hess
+        [Gb, Pb, so, si, si]`` adds the second-order term."""
         if not hasattr(x, "shape"):  # lists/tuples: coerce once, on host
             t, x, u = np.asarray(t), np.asarray(x), np.asarray(u)
-        self._record_path(x.shape[1], x.shape[2], target_jac is not None)
-        return self._step(state, *self._put(t, x, u, w, rw, target_jac))
+        self._record_path(x.shape[1], x.shape[2],
+                          target_jac is not None or target_hess is not None,
+                          hess=target_hess is not None)
+        return self._step(
+            state, *self._put(t, x, u, w, rw, target_jac, target_hess))
 
     def init(self, key) -> TrainState:
         params = self.model.init(key)
@@ -265,6 +279,17 @@ class GroupedTrainer:
         prop = np.where(rs > 0, r / np.maximum(rs, 1e-300), 1.0 / P)
         return mix / P + (1.0 - mix) * prop
 
+    def residual_probs(self, state, t, x, u, alpha: float = 1.0,
+                       mix: float = 0.5) -> np.ndarray:
+        """Public form of the residual sampling distribution — the
+        ``point_sampler`` hook for STREAMED residual sampling (round-4
+        review item 6): score each loaded shard window against the current
+        params and let ``GroupedDataset.iter_batches(point_sampler=...)``
+        hard-point-sample within it. See ``fit(point_sampling="residual")``
+        for the in-memory form and the objective caveat."""
+        return self._residual_probs(state, np.asarray(t), np.asarray(x),
+                                    np.asarray(u), alpha, mix)
+
     @staticmethod
     def _gumbel_topk(probs: np.ndarray, k: int, rng) -> np.ndarray:
         """Vectorized without-replacement sampling: per-row top-k of
@@ -281,6 +306,7 @@ class GroupedTrainer:
         u: np.ndarray,
         sample_weight: Optional[np.ndarray] = None,
         target_jac: Optional[np.ndarray] = None,
+        target_hess: Optional[np.ndarray] = None,
         epochs: int = 1,
         group_batch: Optional[int] = None,
         point_batch: Optional[int] = None,
@@ -302,8 +328,9 @@ class GroupedTrainer:
         objective; final metrics should be evaluated on the full set.
 
         ``target_jac [G, P, so, si]`` switches every step to the Sobolev
-        loss (``w_value``/``w_jac`` from the constructor); the residual
-        sampling distribution stays value-MSE-based.
+        loss (``w_value``/``w_jac`` from the constructor); ``target_hess
+        [G, P, so, si, si]`` adds the ``w_hess`` second-order term. The
+        residual sampling distribution stays value-MSE-based.
         """
         G, P = x.shape[0], x.shape[1]
         group_batch = min(group_batch or G, G)
@@ -320,7 +347,8 @@ class GroupedTrainer:
             raise ValueError(f"unknown point_sampling {point_sampling!r}")
         probs = None
         self._record_path(point_batch, x.shape[2],
-                          target_jac is not None)
+                          target_jac is not None or target_hess is not None,
+                          hess=target_hess is not None)
 
         for cb in callbacks:
             cb.on_train_begin(self)
@@ -345,6 +373,8 @@ class GroupedTrainer:
                     bt, bx, bu = t[gsel], x[gsel][:, psel], u[gsel][:, psel]
                     bju = (None if target_jac is None
                            else target_jac[gsel][:, psel])
+                    bhu = (None if target_hess is None
+                           else target_hess[gsel][:, psel])
                 else:
                     # per-group hard-point subsample: [b, point_batch]
                     psel = self._gumbel_topk(probs[gsel], point_batch,
@@ -358,14 +388,20 @@ class GroupedTrainer:
                     bt, bx, bu = t[gsel], x[rows, psel], u[rows, psel]
                     bju = (None if target_jac is None
                            else target_jac[rows, psel])
+                    bhu = (None if target_hess is None
+                           else target_hess[rows, psel])
                 rw = None
                 if needs_pad:
                     # per-group weights: scale/zero whole rows of [Gb, Pb]
-                    arrs = (bt, bx, bu) + (() if bju is None else (bju,))
+                    opts = [a for a in (bju, bhu) if a is not None]
+                    arrs = (bt, bx, bu) + tuple(opts)
                     arrs, w_rows = pad_batch(arrs, None, b, group_batch)
                     bt, bx, bu = arrs[:3]
+                    it = iter(arrs[3:])
                     if bju is not None:
-                        bju = arrs[3]
+                        bju = next(it)
+                    if bhu is not None:
+                        bhu = next(it)
                     w_full = (
                         np.broadcast_to(w_rows[:, None],
                                         (group_batch, point_batch))
@@ -378,8 +414,10 @@ class GroupedTrainer:
                     w = np.ascontiguousarray(w_full, dtype=np.float32)
                     if self.use_reg:
                         rw = reg_row_weights(b, group_batch)
-                bt, bx, bu, bw, brw, bju = self._put(bt, bx, bu, w, rw, bju)
-                state, loss = self._step(state, bt, bx, bu, bw, brw, bju)
+                bt, bx, bu, bw, brw, bju, bhu = self._put(
+                    bt, bx, bu, w, rw, bju, bhu)
+                state, loss = self._step(state, bt, bx, bu, bw, brw, bju,
+                                         bhu)
                 losses.append(loss)
                 sizes.append(b)
             epoch_loss = (

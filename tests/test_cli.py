@@ -334,6 +334,59 @@ def test_cli_grouped_sobolev_train(grouped_workdir, tmp_path):
         ])
 
 
+def test_cli_grouped_hessian_train(grouped_workdir):
+    """--hessian streams second-order targets through GroupedTrainer and
+    the grouped L-BFGS fine-tune (round-4 review item 5: the tutorial-4/8
+    product surface composes end to end)."""
+    from nif_tpu.data import GroupedDataset
+
+    wd = grouped_workdir
+    rng = np.random.default_rng(2)
+    G, P = 6, 64
+    t = np.linspace(0, 1, G, dtype=np.float32)[:, None]
+    x = rng.uniform(-1, 1, (G, P, 1)).astype(np.float32)
+    phase = 2 * np.pi * (x[..., 0] - t)
+    u = np.sin(phase).astype(np.float32)[..., None]
+    ju = (2 * np.pi * np.cos(phase)).astype(np.float32)[..., None, None]
+    hu = (-(2 * np.pi) ** 2 * np.sin(phase)).astype(
+        np.float32)[..., None, None, None]
+    snap_dir = str(wd / "snaps_hess")
+    GroupedDataset.create_from_arrays(t, x, u, snap_dir, groups_per_file=3,
+                                      target_jac=ju, target_hess=hu)
+    loss = cli_main([
+        "train", "--config", str(wd / "config.json"),
+        "--data", snap_dir, "--model", "multiscale",
+        "--epochs", "3", "--lr", "2e-3",
+        "--group-batch", "3", "--point-batch", "32",
+        "--sobolev", "--w-jac", "0.1", "--hessian", "--w-hess", "0.01",
+        "--lbfgs", "3",
+    ])
+    assert np.isfinite(loss)
+
+    # a dataset without second-order targets refuses --hessian loudly
+    with pytest.raises(SystemExit, match="no second-order targets"):
+        cli_main([
+            "train", "--config", str(wd / "config.json"),
+            "--data", str(wd / "snaps"), "--model", "multiscale",
+            "--epochs", "1", "--group-batch", "4", "--hessian",
+        ])
+
+
+def test_cli_grouped_residual_sampling(grouped_workdir):
+    """--point-sampling residual: the streamed route scores each shard
+    against the current params and hard-point-samples within it (round-4
+    review item 6)."""
+    wd = grouped_workdir
+    loss = cli_main([
+        "train", "--config", str(wd / "config.json"),
+        "--data", str(wd / "snaps"), "--model", "multiscale",
+        "--epochs", "4", "--lr", "5e-3",
+        "--group-batch", "4", "--point-batch", "16",
+        "--point-sampling", "residual",
+    ])
+    assert np.isfinite(loss)
+
+
 def test_cli_pointwise_layout_on_grouped_dir_rejected(grouped_workdir):
     """Forcing --layout pointwise on a GroupedDataset directory exits with
     a clear message instead of a KeyError from the shard reader."""

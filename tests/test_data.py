@@ -482,3 +482,89 @@ def test_grouped_dataset_jac_targets(tmp_path):
     with pytest.raises(ValueError, match="no Jacobian targets"):
         next(iter(GroupedDataset(plain).iter_batches(
             group_batch=2, with_jac=True)))
+
+
+def test_grouped_dataset_hess_targets(tmp_path):
+    """Second-order streaming (round-4 review item 5): target_hess
+    round-trips through shards behind with_hess=True, subsampled with the
+    same selection as x/u; missing targets raise loudly."""
+    from nif_tpu.data import GroupedDataset
+
+    rng = np.random.default_rng(1)
+    G, P = 4, 16
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 2)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    ju = rng.standard_normal((G, P, 1, 2)).astype(np.float32)
+    # hu encodes (group, point) identity for alignment proof
+    hu = np.zeros((G, P, 1, 2, 2), np.float32)
+    hu[..., 0, 0, 0] = np.arange(G)[:, None]
+    hu[..., 0, 0, 1] = np.arange(P)[None, :]
+    path = str(tmp_path / "hess")
+    GroupedDataset.create_from_arrays(t, x, u, path, groups_per_file=2,
+                                      target_jac=ju, target_hess=hu)
+    ds = GroupedDataset(path)
+    assert ds.meta["hessian"] is True
+    for _, bt, bx, bu, _w, bju, bhu in ds.iter_batches(
+            group_batch=2, point_batch=8, epochs=1, with_jac=True,
+            with_hess=True):
+        assert bju.shape == (2, 8, 1, 2)
+        assert bhu.shape == (2, 8, 1, 2, 2)
+        g_ids = bhu[:, 0, 0, 0, 0].astype(int)
+        p_ids = bhu[0, :, 0, 0, 1].astype(int)
+        np.testing.assert_array_equal(bu, u[g_ids][:, p_ids])
+        np.testing.assert_array_equal(bju, ju[g_ids][:, p_ids])
+
+    # with_hess alone: 7-tuple with ju slot None
+    b = next(iter(ds.iter_batches(group_batch=2, point_batch=8,
+                                  with_hess=True)))
+    assert len(b) == 7 and b[5] is None and b[6] is not None
+    plain = str(tmp_path / "plain_h")
+    GroupedDataset.create_from_arrays(t, x, u, plain, groups_per_file=2)
+    with pytest.raises(ValueError, match="no Hessian targets"):
+        next(iter(GroupedDataset(plain).iter_batches(
+            group_batch=2, with_hess=True)))
+
+
+def test_grouped_dataset_point_sampler(tmp_path):
+    """Streamed residual sampling (round-4 review item 6): a point_sampler
+    that concentrates probability on a point subset must dominate the
+    drawn subsamples; scores refresh per shard window (the sampler sees
+    every shard's own arrays)."""
+    from nif_tpu.data import GroupedDataset
+
+    rng = np.random.default_rng(2)
+    G, P = 4, 64
+    t = np.arange(G, dtype=np.float32)[:, None]
+    x = rng.standard_normal((G, P, 1)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    path = str(tmp_path / "ps")
+    GroupedDataset.create_from_arrays(t, x, u, path, groups_per_file=2)
+    ds = GroupedDataset(path)
+
+    seen_shards = []
+
+    def sampler(ts, xs, us):
+        seen_shards.append(np.sort(ts[:, 0]).tolist())
+        p = np.full((ts.shape[0], P), 1e-9)
+        p[:, :8] = 1.0  # nearly all mass on the first 8 points
+        return p
+
+    hits = total = 0
+    for _, bt, bx, bu, _w in ds.iter_batches(
+            group_batch=2, point_batch=4, epochs=2, seed=0,
+            point_sampler=sampler):
+        # recover drawn point ids by matching x rows
+        for gi in range(bt.shape[0]):
+            g = int(bt[gi, 0])
+            for row in bx[gi]:
+                pid = int(np.argmin(np.abs(x[g, :, 0] - row[0])))
+                hits += pid < 8
+                total += 1
+    assert hits / total > 0.95, (hits, total)
+    assert len(seen_shards) == 4  # 2 shards x 2 epochs: per-shard refresh
+
+    bad = lambda ts, xs, us: np.ones((1, 1))  # noqa: E731
+    with pytest.raises(ValueError, match="point_sampler"):
+        next(iter(ds.iter_batches(group_batch=2, point_batch=4,
+                                  point_sampler=bad)))

@@ -455,6 +455,115 @@ def test_fused_sobolev_grads_parity():
                                np.asarray(lf0) / lscale, atol=5e-5)
 
 
+def test_fused_hessian_grads_parity():
+    """The second-order fused train kernel (VERDICT r4 item 1): forward +
+    jacobian + hessian tangent streams + all three MSE terms + the full
+    reverse-over-forward-over-forward backward in ONE pass must match
+    jax.value_and_grad over the XLA nested-jacfwd path
+    (output_jacobian_hessian_grouped) — plain and resblock sine chains,
+    hessian-only and jac+hess, weights, index subsetting, asymmetric
+    targets (the kernel symmetrizes; the wrapper restores the exact
+    full-grid loss via the params-independent asymmetry constant), and
+    the NIF-linear effective chain. Interpret mode on CPU."""
+    import nif_tpu
+
+    rng = np.random.default_rng(17)
+    G, P = 2, 256
+
+    def compare(name, model, si, so, y_index=None, x_index=None,
+                weight=False, with_jac=True, symmetric=True,
+                w_value=1.0, w_jac=0.3, w_hess=0.05):
+        params = model.init(jax.random.key(1))
+        pi = model.cfg_parameter_net.input_dim
+        t = jnp.asarray(rng.standard_normal((G, pi)), jnp.float32)
+        x = jnp.asarray(rng.uniform(-1, 1, (G, P, si)), jnp.float32)
+        n_y = so if y_index is None else len(np.atleast_1d(y_index))
+        n_x = si if x_index is None else len(np.atleast_1d(x_index))
+        u = jnp.asarray(rng.standard_normal((G, P, so)), jnp.float32)
+        jt = (jnp.asarray(rng.standard_normal((G, P, n_y, n_x)),
+                          jnp.float32) if with_jac else None)
+        ht = rng.standard_normal((G, P, n_y, n_x, n_x)).astype(np.float32)
+        if symmetric:
+            ht = 0.5 * (ht + ht.transpose(0, 1, 2, 4, 3))
+        ht = jnp.asarray(ht)
+        w = (jnp.asarray(rng.uniform(0.5, 1.5, (G, P)), jnp.float32)
+             if weight else None)
+        kw = dict(target_jac=jt, target_hess=ht, w_value=w_value,
+                  w_jac=w_jac, w_hess=w_hess, y_index=y_index,
+                  x_index=x_index, weight=w)
+        tot0, terms0, g0 = model.sobolev_value_and_grad(
+            params, t, x, u, fused=False, **kw)
+        tot1, terms1, g1 = model.sobolev_value_and_grad(
+            params, t, x, u, fused=True, **kw)
+        np.testing.assert_allclose(float(tot0), float(tot1), rtol=2e-4,
+                                   err_msg=name)
+        assert set(terms0) == set(terms1), name
+        for k in terms0:
+            np.testing.assert_allclose(
+                float(terms0[k]), float(terms1[k]), rtol=2e-4,
+                err_msg=f"{name}:{k}")
+        flat0 = jax.flatten_util.ravel_pytree(g0)[0]
+        flat1 = jax.flatten_util.ravel_pytree(g1)[0]
+        scale = float(jnp.max(jnp.abs(flat0))) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(flat1) / scale, np.asarray(flat0) / scale,
+            atol=1e-4, err_msg=name)
+
+    siren = nif_tpu.NIFMultiScale(
+        {"input_dim": 3, "output_dim": 2, "units": 16, "nlayers": 2,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 2, "latent_dim": 4, "units": 16, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    compare("siren jac+hess", siren, 3, 2)
+    compare("siren hess-only", siren, 3, 2, with_jac=False)
+    compare("siren weighted asym", siren, 3, 2, weight=True,
+            symmetric=False)
+    compare("siren subset", siren, 3, 2, y_index=1, x_index=[0, 2],
+            w_value=0.7, w_jac=2.5, w_hess=0.2)
+
+    resb = nif_tpu.NIFMultiScale(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 2,
+         "activation": "sine", "use_resblock": True, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 4, "units": 16, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    compare("siren resblock", resb, 2, 1)
+
+    # NIF-linear routes through the effective generated chain
+    lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "last_layer", "weight_init_factor": 1.0},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    compare("nif-linear", lin, 2, 1)
+
+    # vanilla chains have no hessian kernel — fused=True is loud, auto
+    # quietly stays on XLA
+    vanilla = nif_tpu.NIF(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
+         "activation": "tanh"},
+        {"input_dim": 1, "latent_dim": 3, "units": 16, "nlayers": 1,
+         "activation": "swish"},
+    )
+    vp = vanilla.init(jax.random.key(0))
+    vt = jnp.asarray(rng.standard_normal((G, 1)), jnp.float32)
+    vx = jnp.asarray(rng.uniform(-1, 1, (G, P, 2)), jnp.float32)
+    vu = jnp.asarray(rng.standard_normal((G, P, 1)), jnp.float32)
+    vht = jnp.asarray(rng.standard_normal((G, P, 1, 2, 2)), jnp.float32)
+    import pytest
+
+    with pytest.raises(ValueError, match="sine chains only"):
+        vanilla.sobolev_value_and_grad(vp, vt, vx, vu, target_hess=vht,
+                                       fused=True)
+    info = vanilla.sobolev_path_info(P, 2, hess=True)
+    assert info["path"] == "xla" and "sine chains" in info["reason"]
+
+
 def test_fused_sobolev_weight_parity():
     """Per-point weights (the trainers' padding convention) through the
     fused Sobolev kernel: both loss terms and every gradient match the
@@ -509,8 +618,9 @@ def test_fused_sobolev_weight_parity():
 
 def test_sobolev_fused_true_raises_cleanly_on_unsupported():
     """Forced fused=True must fail with a clear ValueError (not a
-    TypeError deep in the kernel) when P has no dividing tile, when
-    target_jac is absent, or when target_hess is requested."""
+    TypeError deep in the kernel) when P has no dividing tile or when
+    NO derivative targets are given (hessian targets route to the
+    second-order kernel since round 5)."""
     import pytest
 
     import nif_tpu
@@ -538,12 +648,14 @@ def test_sobolev_fused_true_raises_cleanly_on_unsupported():
         model.sobolev_value_and_grad(params, t, x, u, target_jac=jt,
                                      fused=True)
     x, u, jt = data(256)
-    with pytest.raises(ValueError, match="target_jac"):
+    with pytest.raises(ValueError, match="target_jac or target_hess"):
         model.sobolev_value_and_grad(params, t, x, u, fused=True)
-    with pytest.raises(ValueError, match="target_hess"):
+    # hessian targets now have their own kernel: fused=True works, and a
+    # mis-shaped target is loud
+    with pytest.raises(ValueError, match="target_hess shape"):
         model.sobolev_value_and_grad(
             params, t, x, u, target_jac=jt,
-            target_hess=jnp.zeros((G, 256, 1, 2, 2)), fused=True)
+            target_hess=jnp.zeros((G, 256, 1, 2)), fused=True)
 
 
 def test_fused_sobolev_weight_parity_more_variants():
