@@ -510,6 +510,7 @@ class GroupedTrainer:
         u: np.ndarray,
         sample_weight: Optional[np.ndarray] = None,
         target_jac: Optional[np.ndarray] = None,
+        target_hess: Optional[np.ndarray] = None,
         epochs: int = 1,
         group_batch: Optional[int] = None,
         point_batch: Optional[int] = None,
@@ -561,9 +562,11 @@ class GroupedTrainer:
         group_batch += (-group_batch) % n_div
         group_batch = min(group_batch, G)
         self._record_path(point_batch, x.shape[2],
-                          target_jac is not None)
+                          target_jac is not None or target_hess is not None,
+                          hess=target_hess is not None)
 
-        td, xd, ud, wd, jud = self._put(t, x, u, sample_weight, target_jac)
+        td, xd, ud, wd, jud, hud = self._put(
+            t, x, u, sample_weight, target_jac, target_hess)
         steps_per_epoch = max(G // group_batch, 1)
 
         def refresh_logits(state):
@@ -575,7 +578,8 @@ class GroupedTrainer:
             lg = np.log(np.maximum(probs, 1e-300)).astype(np.float32)
             return self._put(lg)[0]
 
-        def step_body(state: TrainState, key, td, xd, ud, wd, jud, lgd):
+        def step_body(state: TrainState, key, td, xd, ud, wd, jud, hud,
+                      lgd):
             kg, kp = jax.random.split(key)
             if group_batch < G:
                 gsel = jax.random.permutation(kg, G)[:group_batch]
@@ -584,9 +588,10 @@ class GroupedTrainer:
                 ug = jnp.take(ud, gsel, axis=0)
                 wg = None if wd is None else jnp.take(wd, gsel, axis=0)
                 jg = None if jud is None else jnp.take(jud, gsel, axis=0)
+                hg = None if hud is None else jnp.take(hud, gsel, axis=0)
                 lgg = None if lgd is None else jnp.take(lgd, gsel, axis=0)
             else:
-                tb, xg, ug, wg, jg, lgg = td, xd, ud, wd, jud, lgd
+                tb, xg, ug, wg, jg, hg, lgg = td, xd, ud, wd, jud, hud, lgd
             if point_batch < P or lgg is not None:
                 if lgg is None:
                     idx = jax.random.randint(
@@ -604,10 +609,13 @@ class GroupedTrainer:
                 jb = (None if jg is None
                       else jnp.take_along_axis(jg, idx[..., None, None],
                                                axis=1))
+                hb = (None if hg is None
+                      else jnp.take_along_axis(
+                          hg, idx[..., None, None, None], axis=1))
             else:
-                xb, ub, wb, jb = xg, ug, wg, jg
+                xb, ub, wb, jb, hb = xg, ug, wg, jg, hg
             loss, grads = self._value_and_grad(
-                state.params, tb, xb, ub, wb, None, jb
+                state.params, tb, xb, ub, wb, None, jb, hb
             )
             updates, opt_state = self.tx.update(
                 grads, state.opt_state, state.params
@@ -620,7 +628,8 @@ class GroupedTrainer:
             # bounds), so a same-batch-shape call on a different-sized
             # dataset must not reuse the compiled chunk.
             key_cache = ("_resident_chunk", G, P, group_batch, point_batch,
-                         wd is not None, jud is not None, residual, n_steps)
+                         wd is not None, jud is not None, hud is not None,
+                         residual, n_steps)
             fn = getattr(self, "_resident_cache", {}).get(key_cache)
             if fn is None:
                 # Steps are scan-chained ON DEVICE: dispatching one jitted
@@ -632,17 +641,19 @@ class GroupedTrainer:
                 # scan, so the sampled batches are IDENTICAL to the
                 # step-at-a-time schedule.
                 has_w, has_j = wd is not None, jud is not None
+                has_h = hud is not None
 
                 @functools.partial(jax.jit, donate_argnums=(0,))
                 def fn(state: TrainState, root, start, td, xd, ud, *opt):
                     it = iter(opt)
                     wd_ = next(it) if has_w else None
                     jud_ = next(it) if has_j else None
+                    hud_ = next(it) if has_h else None
                     lgd_ = next(it) if residual else None
 
                     def body(c, i):
                         return step_body(c, jax.random.fold_in(root, i),
-                                         td, xd, ud, wd_, jud_, lgd_)
+                                         td, xd, ud, wd_, jud_, hud_, lgd_)
                     return jax.lax.scan(
                         body, state, start + jnp.arange(n_steps)
                     )
@@ -685,7 +696,7 @@ class GroupedTrainer:
             t0 = time.perf_counter()
             run = get_chunk_fn(n_ep * steps_per_epoch)
             args = (state, root, step_i, td, xd, ud) + tuple(
-                a for a in (wd, jud) if a is not None
+                a for a in (wd, jud, hud) if a is not None
             ) + ((lgd,) if residual else ())
             state, losses = run(*args)
             losses = np.asarray(

@@ -822,6 +822,51 @@ def test_residual_point_sampling_resident():
         tr2.fit_resident(st2, t, x, u, epochs=1, point_sampling="bogus")
 
 
+def test_trainer_hessian_target_modes():
+    """Second-order targets compose with every trainer mode (round-4
+    review item 5): fit, fit_resident, and the mesh'd shard_map step all
+    accept target_hess; the step loss matches sobolev_value_and_grad."""
+    from nif_tpu.parallel import make_mesh
+
+    model = nif_tpu.NIFMultiScale(
+        {"input_dim": 2, "output_dim": 1, "units": 12, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 5.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 2, "units": 12, "nlayers": 1,
+         "activation": "tanh", "use_resblock": False, "omega_0": 5.0},
+    )
+    rng = np.random.default_rng(0)
+    G, P = 4, 64
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.standard_normal((G, P, 2)).astype(np.float32)
+    u = rng.standard_normal((G, P, 1)).astype(np.float32)
+    ju = rng.standard_normal((G, P, 1, 2)).astype(np.float32)
+    hu = rng.standard_normal((G, P, 1, 2, 2)).astype(np.float32)
+
+    tr = GroupedTrainer(model, optax.adam(1e-3), w_jac=0.1, w_hess=0.01)
+    st = tr.init(jax.random.key(0))
+    # reference BEFORE the step: tr.step donates the state buffers
+    ref, _terms, _g = model.sobolev_value_and_grad(
+        st.params, t, x, u, target_jac=ju, target_hess=hu,
+        w_jac=0.1, w_hess=0.01)
+    st, loss = tr.step(st, t, x, u, target_jac=ju, target_hess=hu)
+    assert float(loss) == pytest.approx(float(ref), rel=1e-5)
+
+    st = tr.fit(st, t, x, u, target_jac=ju, target_hess=hu, epochs=2,
+                group_batch=3, point_batch=16)  # tail pads hu too
+    assert np.isfinite(tr.history["loss"][-1])
+    st = tr.fit_resident(st, t, x, u, target_jac=ju, target_hess=hu,
+                         epochs=2, group_batch=2, point_batch=16, seed=1)
+    assert np.isfinite(tr.history["loss"][-1])
+
+    # hessian-only (no target_jac) + mesh shard_map step
+    tr2 = GroupedTrainer(model, optax.adam(1e-3), w_hess=0.01,
+                         mesh=make_mesh(n_devices=2))
+    st2 = tr2.init(jax.random.key(1))
+    _, loss2 = tr2.step(st2, t, x, u, target_hess=hu)
+    assert np.isfinite(float(loss2))
+
+
 def test_gumbel_topk_is_valid_subsample():
     probs = np.full((3, 50), 1 / 50)
     idx = GroupedTrainer._gumbel_topk(probs, 10, np.random.default_rng(0))
