@@ -365,10 +365,15 @@ def _pick_tile(P: int, cfg: ShapeNetConfig = None, backward: bool = True,
 def _precision_for(a, b):
     """f32 operands run full-precision MXU passes (the f32 kernel paths are
     the fine-tuning/accuracy paths — measured ~1% grad error at default
-    precision on sine chains); bf16 operands are unaffected by the flag."""
+    precision on sine chains). bf16 operands PIN the default precision
+    explicitly: returning None lets an ambient
+    ``jax.default_matmul_precision("highest")`` context (the L-BFGS
+    fine-tuner traces under one) stamp fp32 contract precision onto bf16
+    matmuls, which Mosaic rejects at real compile time ("Bad lhs type" —
+    found by the round-5 bench, not by interpret mode)."""
     if a.dtype == jnp.float32 and b.dtype == jnp.float32:
         return jax.lax.Precision.HIGHEST
-    return None
+    return jax.lax.Precision.DEFAULT
 
 
 def _matmul(a, b):
