@@ -521,11 +521,37 @@ class GroupedLBFGS(LBFGS):
             return False
         return None
 
+    def _mesh_value_and_grad(self, fused):
+        """The mesh-aware (shard_map) objective core, built by
+        GroupedTrainer: the fused Pallas kernels are OPAQUE to GSPMD, so
+        sharded chunks must run per-shard via shard_map with explicit
+        pmeans — exactly the trainer's value_and_grad construction.
+        Cached per fused flag (the trainer fixes it at construction)."""
+        cache = self.__dict__.setdefault("_mesh_vag_cache", {})
+        fn = cache.get(fused)
+        if fn is None:
+            import optax as _optax
+
+            from ..training.grouped import GroupedTrainer
+
+            tr = GroupedTrainer(
+                self.model, _optax.sgd(0.0), mesh=self.mesh,
+                use_reg=False, fused=fused, w_value=self.w_value,
+                w_jac=self.w_jac, w_hess=self.w_hess)
+            fn = tr._value_and_grad
+            cache[fused] = fn
+        return fn
+
     def _chunk_value_and_grad(self, params, t, x, u, w, tj, th,
                               use_reg: bool):
         """(loss, grads) of one batch's objective via the models' fused
-        (or XLA-fallback) hand-assembled value_and_grad."""
+        (or XLA-fallback) hand-assembled value_and_grad. Sharded chunks
+        (mesh mode) go through the shard_map core instead — a direct
+        model call would hand GSPMD an unpartitionable pallas_call."""
         fused = self._fused_flag(params)
+        if self.mesh is not None and self.chunk_groups is not None:
+            vag = self._mesh_value_and_grad(fused)
+            return vag(params, t, x, u, w, None, tj, th)
         if tj is None and th is None:
             return self.model.mse_value_and_grad(
                 params, t, x, u, weight=w, fused=fused, use_reg=use_reg)
