@@ -422,6 +422,24 @@ def main():
     dt_romf = float(np.median(steady_state_times(
         romf_step, (lp, jnp.zeros(())), n1=500, n2=3000, repeats=5)))
 
+    # -------- int8 decode from the SERVING surface (round-4 item 3b) ------
+    # The executed-int8 path as a user reaches it: an exported
+    # shared_mesh_int8 artifact (params + quantized mesh pack baked in).
+    blob8 = export_apply(lin, lp, batch_size=P_rom,
+                         layout="shared_mesh_int8", group_batch=G_rom,
+                         int8_pack=pack)
+    served8 = load_exported(blob8)
+
+    def served8_step(state):
+        acc = state
+        pred = served8(t_rom + acc * 1e-9)
+        pred = jax.lax.optimization_barrier(pred)
+        acc = jnp.mean(pred.astype(jnp.float32))
+        return acc, acc
+
+    dt_served8 = float(np.median(steady_state_times(
+        served8_step, jnp.zeros(()), n1=500, n2=3000, repeats=3)))
+
     # -------- derivative paths: fused (y, dy/dx) eval + Sobolev train core --
     # XLA-path ratios are documented in PARITY.md (7.3x / 2.9x) — only the
     # fused numbers are re-measured here to bound bench compile time.
@@ -453,25 +471,63 @@ def main():
         sob_step, (params, tx.init(params)), n1=5, n2=20, repeats=2)))
 
     # -------- second-order (Hessian-target) Sobolev training at scale ------
-    # (VERDICT r3 item 4): nested-jacfwd XLA formulation — ~13 forward
-    # equivalents per point at si=3 plus the reverse sweep, so the scale is
-    # P=8192/group (262k points/step).
-    P_h = 8192
-    x_h, u_h = x[:, :P_h], u[:, :P_h]
-    jt_h = jt[:, :P_h]
-    ht = jnp.asarray(rng.standard_normal((G, P_h, 1, 3, 3)), jnp.float32)
+    # Round 5: the fused second-order kernel (forward + jac + hessian
+    # tangent streams + all three MSE terms + backward in ONE pallas_call)
+    # runs at the FLAGSHIP scale P=32768/group (1M points/step) — the
+    # round-4 number was the nested-jacfwd XLA path at the easier P=8192.
+    ht0 = rng.standard_normal((G, P, 1, 3, 3)).astype(np.float32)
+    ht = jnp.asarray(0.5 * (ht0 + ht0.transpose(0, 1, 2, 4, 3)))
 
     def hess_step(state):
         p, o = state
         total, _terms, grads = model.sobolev_value_and_grad(
-            p, t, x_h, u_h, target_jac=jt_h, target_hess=ht,
+            p, t, x, u, target_jac=jt, target_hess=ht,
             w_jac=0.1, w_hess=0.01,
         )
         updates, o = tx.update(grads, o, p)
         return (optax.apply_updates(p, updates), o), total
 
+    # ~34 ms/step: 12 steps of window = 400+ ms of signal per repeat
     dt_hess = float(np.median(steady_state_times(
-        hess_step, (params, tx.init(params)), n1=3, n2=12, repeats=2)))
+        hess_step, (params, tx.init(params)), n1=3, n2=15, repeats=3)))
+
+    # XLA reference at its round-4 scale (P=8192) for the speedup ratio
+    P_h = 8192
+    x_h, u_h, jt_h, ht_h = x[:, :P_h], u[:, :P_h], jt[:, :P_h], ht[:, :P_h]
+
+    def hess_step_xla(state):
+        p, o = state
+        total, _terms, grads = model.sobolev_value_and_grad(
+            p, t, x_h, u_h, target_jac=jt_h, target_hess=ht_h,
+            w_jac=0.1, w_hess=0.01, fused=False,
+        )
+        updates, o = tx.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o), total
+
+    dt_hess_xla = float(np.median(steady_state_times(
+        hess_step_xla, (params, tx.init(params)), n1=2, n2=8, repeats=2)))
+
+    # -------- grouped L-BFGS fine-tune throughput (round-4 item 3) --------
+    # Iterations/s of the flagship fine-tuning stage: the GroupedLBFGS
+    # objective rides the single-pass fused MSE kernel via its custom-VJP
+    # wrapper. Paired run lengths cancel trace/dispatch overhead; each
+    # L-BFGS iteration includes its zoom line-search evaluations.
+    from nif_tpu.optimizers import GroupedLBFGS
+
+    tuner = GroupedLBFGS(model, np.asarray(t), np.asarray(x), np.asarray(u))
+    for n in (4, 24):  # compile + warm both window lengths (runner cached)
+        tuner.minimize(params, rounds=1, max_iter=n)
+    lbfgs_dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tuner.minimize(params, rounds=1, max_iter=4)
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        tuner.minimize(params, rounds=1, max_iter=24)
+        d2 = time.perf_counter() - t0
+        if d2 > d1:
+            lbfgs_dts.append((d2 - d1) / 20.0)
+    dt_lbfgs = float(np.median(lbfgs_dts)) if lbfgs_dts else float("nan")
 
     extra = {
         "device_kind": kind,
@@ -487,9 +543,15 @@ def main():
         "rom_decode_points_per_sec_per_chip": round(pps_rom, 1),
         "int8_rom_decode_points_per_sec_per_chip": round(pps_rom8, 1),
         "int8_vs_f32_fixed_mesh_decode": round(dt_romf / dt_rom8, 2),
+        "int8_serving_points_per_sec_per_chip": round(
+            G_rom * P_rom / dt_served8, 1),
+        "int8_serving_vs_raw": round(dt_rom8 / dt_served8, 3),
         "jacobian_eval_points_per_sec_per_chip": round(G * P / dt_jac, 1),
         "sobolev_train_points_per_sec_per_chip": round(G * P / dt_sob, 1),
-        "hessian_train_points_per_sec_per_chip": round(G * P_h / dt_hess, 1),
+        "hessian_train_points_per_sec_per_chip": round(G * P / dt_hess, 1),
+        "hessian_train_xla_points_per_sec_per_chip": round(
+            G * P_h / dt_hess_xla, 1),
+        "lbfgs_iters_per_sec_flagship": round(1.0 / dt_lbfgs, 2),
     }
     extra.update(ms_fields("step", s_grouped))
     if peak is not None:
