@@ -168,16 +168,55 @@ def main_trainer(epochs=1000, w_jac=0.1, seed=0, n_xg=256):
     return trainer.history["loss"][-1]
 
 
+def main_hessian(epochs=1000, w_jac=0.1, w_hess=1e-3, seed=0, n_xg=256):
+    """SECOND-order Sobolev training (round 5): supervise u, du/dx AND
+    d2u/dx2 with the packet's analytic derivatives. On TPU the whole step
+    — forward, Jacobian and Hessian tangent streams, all three MSE terms,
+    and the backward — is ONE fused Pallas pass
+    (``ops.pallas_shapenet.shapenet_hessian_grads``, 6.1x the
+    nested-jacfwd XLA path at the flagship scale)."""
+    from nif_tpu.demo.datasets import traveling_wave_d2udx2
+    from nif_tpu.training import GroupedTrainer
+
+    G = 10
+    t, x, u, tj = _grouped_problem(n_xg, G=G)
+    tw = TravelingWaveHighFreq(n_t=G, n_x=n_xg)
+    lo = tw.n_p + tw.n_x
+    d2_raw = traveling_wave_d2udx2(
+        tw.data_raw[:, 0], tw.data_raw[:, 1], tw.wavenumber)
+    # chain rule through both normalizations: d2 u_n / d x_n^2
+    th = (d2_raw * tw.std[1] ** 2 / tw.std[lo]).reshape(
+        G, n_xg, 1, 1, 1).astype(np.float32)
+
+    model = nif_tpu.NIFMultiScale(_CFG_S, _CFG_P)
+    trainer = GroupedTrainer(model, optax.adam(1e-4), w_jac=w_jac,
+                             w_hess=w_hess, seed=seed)
+    state = trainer.init(jax.random.key(seed))
+    state = trainer.fit_resident(state, t, x, u, target_jac=tj,
+                                 target_hess=th, epochs=epochs,
+                                 group_batch=G, point_batch=n_xg,
+                                 verbose_every=max(epochs // 10, 1))
+    print(f"path={trainer.history['sobolev_path']}  "
+          f"final loss {trainer.history['loss'][-1]:.3e}")
+    return trainer.history["loss"][-1]
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=1000)
     ap.add_argument("--w-jac", type=float, default=0.1)
+    ap.add_argument("--w-hess", type=float, default=1e-3)
     ap.add_argument("--grouped", action="store_true",
                     help="grouped layout + fused Sobolev train core")
     ap.add_argument("--trainer", action="store_true",
                     help="GroupedTrainer Sobolev mode (target_jac)")
+    ap.add_argument("--hessian", action="store_true",
+                    help="second-order Sobolev: + d2u/dx2 targets "
+                         "(fused second-order kernel on TPU)")
     args = ap.parse_args()
-    if args.trainer:
+    if args.hessian:
+        main_hessian(args.epochs, args.w_jac, args.w_hess)
+    elif args.trainer:
         main_trainer(args.epochs, args.w_jac)
     elif args.grouped:
         main_grouped(args.epochs, args.w_jac)

@@ -62,6 +62,19 @@ def traveling_wave_dudx(t, x, wavenumber):
     )
 
 
+def traveling_wave_d2udx2(t, x, wavenumber):
+    """Analytic d2u/dx2 of :func:`traveling_wave_field` (second-order
+    Sobolev / HessianLayer demos): for u = exp(-a z^2) sin(k z),
+    u'' = env * ((4 a^2 z^2 - k^2 - 2a) sin(kz) - 4 a k z cos(kz))."""
+    a, k = _ENVELOPE, wavenumber
+    z = x - _X0 - _SPEED * t
+    env = np.exp(-a * z * z)
+    return env * (
+        (4.0 * a * a * z * z - k * k - 2.0 * a) * np.sin(k * z)
+        - 4.0 * a * k * z * np.cos(k * z)
+    )
+
+
 def _traveling_wave_raw(n_t, n_x, wavenumber):
     """Rows of [t, x, u] on the reference grid layout (t-major), f32.
 

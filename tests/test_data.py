@@ -116,6 +116,20 @@ class TestReferenceFixtureParity:
             rel = np.abs(fd - d)[mask] / np.abs(d)[mask]
             assert np.median(rel) < 0.05
 
+    def test_analytic_d2udx2_matches_finite_difference(self):
+        from nif_tpu.demo.datasets import (traveling_wave_d2udx2,
+                                           traveling_wave_dudx)
+
+        t = np.linspace(0.0, 90.0, 7)[:, None]
+        x = np.linspace(0.0, 1.0, 2001)[None, :]
+        for K in (4.0, 400.0):
+            du = traveling_wave_dudx(t, x, K)
+            d2 = traveling_wave_d2udx2(t, x, K)
+            fd = np.gradient(du, x[0], axis=1)
+            mask = np.abs(d2) > 1.0
+            rel = np.abs(fd - d2)[mask] / np.abs(d2)[mask]
+            assert np.median(rel) < 0.05
+
 
 class TestGrouped:
     def test_as_grouped_roundtrip(self):

@@ -78,6 +78,13 @@ def test_tutorial_8_sobolev_trainer():
     assert np.isfinite(loss)
 
 
+def test_tutorial_8_sobolev_hessian():
+    # second-order mode: u, du/dx AND d2u/dx2 supervised (round 5)
+    mod = _imp("08_sobolev_training")
+    loss = mod.main_hessian(epochs=10)
+    assert np.isfinite(loss)
+
+
 def test_tutorial_9_data_parallel():
     # Mechanics smoke: the sharded step must actually optimize (finite,
     # below the ~1.0026 init loss). Absolute accuracy at 40 epochs is not
