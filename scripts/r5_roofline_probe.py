@@ -64,6 +64,37 @@ def main():
     mxu_peak = 2 * 4096 * NK * NK / dt
     print(f"MXU peak: {mxu_peak / 1e12:.1f} TF/s", flush=True)
 
+    # ---- 1b. MXU at the KERNEL's matmul shape ----
+    # The train kernel's passes are [TP, 128] x [128, 128] — K=128, not
+    # 8192: each pass pays pipeline fill/drain against only 128
+    # contraction depth, so the achievable rate at this shape (not the
+    # big-matmul peak) is the honest MXU component for the model.
+    # 16 dependent matmuls per scan body amortize the per-iteration scan
+    # overhead; windows sized so the differenced signal is >= 300 ms
+    # (the axon relay adds ~10 ms jitter per readback — a sub-noise
+    # window measured 222 TF/s, i.e. above peak, in an earlier run).
+    wk = jnp.asarray(rng.standard_normal((128, 128)) / 12.0, jnp.bfloat16)
+    yk = jnp.asarray(rng.standard_normal((4096, 128)), jnp.bfloat16)
+    CH = 16
+
+    def kshape_run(n):
+        @jax.jit
+        def f(y):
+            def body(c, _):
+                for _ in range(CH):
+                    c = jnp.dot(c, wk,
+                                preferred_element_type=jnp.bfloat16)
+                return c, None
+            out, _ = jax.lax.scan(body, y, None, length=n)
+            return out.astype(jnp.float32).sum()
+        return lambda: f(yk)
+
+    dt = paired(kshape_run(2000), kshape_run(17000), 2000, 17000)
+    mxu_kshape = CH * 2 * 4096 * 128 * 128 / dt
+    print(f"MXU @ [4096,128]x[128,128]: {mxu_kshape / 1e12:.1f} TF/s "
+          f"({mxu_kshape / mxu_peak * 100:.0f}% of big-matmul peak)",
+          flush=True)
+
     # ---- 2. VPU peak: iterated degree-3 FMA polynomial, f32 ----
     # 64 inner iterations x 3 ops per element per pass: 192 ops per 8
     # bytes -> compute-bound at any plausible bandwidth. The polynomial
@@ -84,7 +115,9 @@ def main():
             return out.sum()
         return lambda: f(A)
 
-    dt = paired(vpu_run(20), vpu_run(100), 20, 100)
+    # window: ~50 us/step at the ~4 T ops/s hardware rate -> 8000
+    # differenced steps = ~0.4 s of signal (>= 300 ms bar)
+    dt = paired(vpu_run(1000), vpu_run(9000), 1000, 9000)
     vpu_peak = A.size * K * 3 / dt
     print(f"VPU peak: {vpu_peak / 1e12:.2f} T ops/s (f32)", flush=True)
 
@@ -101,7 +134,7 @@ def main():
             return x.sum()
         return lambda: f(big_a, big_b)
 
-    dt = paired(hbm_run(10), hbm_run(50), 10, 50)
+    dt = paired(hbm_run(10), hbm_run(130), 10, 130)
     hbm_bw = big_a.size * 4 * 3 / dt  # 2 reads + 1 write per step
     print(f"HBM bandwidth: {hbm_bw / 1e9:.0f} GB/s", flush=True)
 
@@ -134,20 +167,23 @@ def main():
             return losses[-1]
         return lambda: f(state0)
 
-    dt_step = paired(step_run(20), step_run(100), 20, 100)
+    dt_step = paired(step_run(20), step_run(120), 20, 120)
     print(f"flagship step: {dt_step * 1e3:.3f} ms "
           f"({G * P / dt_step / 1e6:.1f}M pts/s)", flush=True)
 
     # ---- compose ----
     cm = train_kernel_cost_model(model.cfg_shape_net, G, P)
-    t_mxu = cm["mxu_flops"] / mxu_peak
-    t_vpu = cm["vpu_ops"] / vpu_peak
-    t_hbm = cm["hbm_bytes"] / hbm_bw
-    t_model = t_mxu + t_vpu + t_hbm
-    print(f"model: MXU {t_mxu * 1e3:.3f} ms + VPU {t_vpu * 1e3:.3f} ms "
-          f"+ HBM {t_hbm * 1e3:.3f} ms = {t_model * 1e3:.3f} ms", flush=True)
-    print(f"coverage: {t_model / dt_step * 100:.1f}% of the measured step "
-          f"(bar: >= 85%)", flush=True)
+    for name, rate in (("big-matmul peak", mxu_peak),
+                       ("kernel-shape rate", mxu_kshape)):
+        t_mxu = cm["mxu_flops"] / rate
+        t_vpu = cm["vpu_ops"] / vpu_peak
+        t_hbm = cm["hbm_bytes"] / hbm_bw
+        t_model = t_mxu + t_vpu + t_hbm
+        print(f"model[{name}]: MXU {t_mxu * 1e3:.3f} ms "
+              f"+ VPU {t_vpu * 1e3:.3f} ms + HBM {t_hbm * 1e3:.3f} ms "
+              f"= {t_model * 1e3:.3f} ms "
+              f"-> coverage {t_model / dt_step * 100:.1f}% (bar >= 85%)",
+              flush=True)
     print(f"counts: {cm}", flush=True)
     print("DONE", flush=True)
 
