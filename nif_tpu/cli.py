@@ -451,12 +451,45 @@ def _cmd_train(args):
     return mse
 
 
+def _restore_params(ckpt_dir: str, model):
+    """Restore trained params from ``ckpt_dir`` — params-only first, then
+    the full-state {params, opt_state, step} layout interrupted training
+    leaves behind. Shared by ``eval`` and ``export``."""
+    import jax
+    import jax.numpy as jnp
+
+    from nif_tpu.training import Checkpointer
+
+    template = model.init(jax.random.key(0))
+    ckpt = Checkpointer(ckpt_dir)
+    try:
+        return ckpt.restore(template=template)
+    except Exception:
+        # If the full-state attempt ALSO fails (corrupt checkpoint,
+        # version mismatch), chain the errors — implicit __context__
+        # keeps the original visible — instead of surfacing only a
+        # confusing secondary tree mismatch.
+        try:
+            full = ckpt.restore()
+            params = (full["params"]
+                      if isinstance(full, dict) and "params" in full else full)
+            return jax.tree_util.tree_map(
+                lambda t, p: jnp.asarray(p, t.dtype).reshape(t.shape),
+                template, params,
+            )
+        except Exception as e2:
+            raise RuntimeError(
+                f"could not restore checkpoint from {ckpt_dir!r} as "
+                "either a params-only or a full-state tree (both attempts "
+                "shown above)"
+            ) from e2
+
+
 def _cmd_eval(args):
     import jax
     import jax.numpy as jnp
 
     from nif_tpu.serving import predict
-    from nif_tpu.training import Checkpointer
     from nif_tpu.utils import rel_l2
 
     if not args.ckpt_dir:
@@ -466,30 +499,7 @@ def _cmd_eval(args):
     streaming = os.path.isdir(args.data)
     if not streaming:
         inputs, targets, _ = _load_pointwise(args, cfg)
-    template = model.init(jax.random.key(0))
-    ckpt = Checkpointer(args.ckpt_dir)
-    try:
-        params = ckpt.restore(template=template)
-    except Exception:
-        # interrupted training leaves a full-state checkpoint
-        # {params, opt_state, step}; restore untyped and take the params.
-        # If that ALSO fails (corrupt checkpoint, version mismatch), chain
-        # the errors — implicit __context__ keeps the original visible —
-        # instead of surfacing only a confusing secondary tree mismatch.
-        try:
-            full = ckpt.restore()
-            params = (full["params"]
-                      if isinstance(full, dict) and "params" in full else full)
-            params = jax.tree_util.tree_map(
-                lambda t, p: jnp.asarray(p, t.dtype).reshape(t.shape),
-                template, params,
-            )
-        except Exception as e2:
-            raise RuntimeError(
-                f"could not restore checkpoint from {args.ckpt_dir!r} as "
-                "either a params-only or a full-state tree (both attempts "
-                "shown above)"
-            ) from e2
+    params = _restore_params(args.ckpt_dir, model)
     if layout == "grouped":
         # grouped snapshots: full-P group chunks through apply_grouped —
         # the same accumulated metric GroupedTrainer.evaluate computes,
@@ -593,6 +603,68 @@ def _cmd_eval(args):
     return mse
 
 
+def _serving_mesh(args, cfg):
+    """The fixed coordinate mesh an int8 shared-mesh export quantizes
+    against: a GroupedDataset directory's first-group ``x``, or an
+    ``.npz`` carrying an explicit ``x [P, si]`` array."""
+    si = cfg.shape_net.input_dim
+    if os.path.isdir(args.data):
+        if not _is_grouped_dir(args.data):
+            raise SystemExit(
+                "--serving-layout shared_mesh_int8 needs a GroupedDataset "
+                "directory (or an .npz with an 'x' array) for the serving "
+                "mesh"
+            )
+        from nif_tpu.data import GroupedDataset
+
+        ds = GroupedDataset(args.data)
+        x = np.load(ds.files[0])["x"][0]
+    else:
+        blob = np.load(args.data)
+        if "x" in blob:
+            x = blob["x"]
+        else:
+            raise SystemExit(
+                "--serving-layout shared_mesh_int8: pass the serving mesh "
+                "as an .npz with an 'x' [P, si] array or a GroupedDataset "
+                "directory (the decode quantizes phi(x) for ONE fixed mesh)"
+            )
+    x = np.asarray(x, np.float32).reshape(-1, si)
+    return x
+
+
+def _cmd_export(args):
+    """Serialize a trained checkpoint to a standalone StableHLO serving
+    artifact (``serving.export_apply``) — the deployment path of
+    reference tutorials 6/7 (/root/reference/README.md:210-230), with
+    int8 ROM decode as a first-class layout."""
+    from nif_tpu.serving import export_apply
+
+    if not args.ckpt_dir:
+        raise SystemExit("export requires --ckpt-dir (a trained checkpoint)")
+    model, cfg = _build_model(args)
+    params = _restore_params(args.ckpt_dir, model)
+
+    int8_pack = None
+    if args.serving_layout == "shared_mesh_int8":
+        from nif_tpu.compression import quantize_shared_mesh
+
+        mesh_x = _serving_mesh(args, cfg)
+        int8_pack = quantize_shared_mesh(model, params, mesh_x)
+    blob = export_apply(
+        model, params,
+        batch_size=args.batch_size,
+        path=args.out,
+        layout=args.serving_layout,
+        group_batch=args.group_batch,
+        int8_pack=int8_pack,
+    )
+    out = {"path": args.out, "layout": args.serving_layout,
+           "bytes": len(blob)}
+    print(json.dumps(out))
+    return len(blob)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="nif_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -644,6 +716,23 @@ def main(argv=None):
                     help="also report jacobian_mse against the grouped "
                          "dataset's stored target_jac")
     ep.set_defaults(fn=_cmd_eval)
+
+    xp = sub.add_parser(
+        "export", parents=[common],
+        help="serialize a trained checkpoint to a standalone StableHLO "
+             "serving artifact")
+    xp.add_argument("--out", required=True, help="artifact output path")
+    xp.add_argument(
+        "--serving-layout",
+        choices=["pointwise", "grouped", "shared_mesh", "shared_mesh_int8"],
+        default="pointwise",
+        help="exported signature (see serving.export_apply); "
+             "shared_mesh_int8 bakes an int8-quantized phi(mesh) pack in "
+             "and decodes int8*int8->int32 on the MXU (--data supplies "
+             "the fixed serving mesh)")
+    xp.add_argument("--group-batch", type=int, default=1,
+                    help="group/snapshot batch of the exported signature")
+    xp.set_defaults(fn=_cmd_export)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -415,3 +415,100 @@ def test_cli_grouped_lbfgs_finetune(grouped_workdir, capsys):
     out = capsys.readouterr().out
     assert "after grouped L-BFGS" in out
     assert np.isfinite(loss)
+
+
+def test_cli_export_artifacts(tmp_path, capsys):
+    """export (round 5): a trained checkpoint serializes to standalone
+    StableHLO artifacts — point-wise and int8 shared-mesh layouts — that
+    load via serving.load_exported and match the live model."""
+    import jax
+    import jax.numpy as jnp
+
+    import nif_tpu
+    from nif_tpu.serving import load_exported, predict_shared_mesh
+    from nif_tpu.training import Checkpointer
+
+    cfg = {
+        "cfg_shape_net": {"input_dim": 1, "output_dim": 1, "units": 16,
+                          "nlayers": 1, "activation": "sine",
+                          "use_resblock": False, "omega_0": 30.0,
+                          "connectivity": "last_layer",
+                          "weight_init_factor": 0.1},
+        "cfg_parameter_net": {"input_dim": 1, "latent_dim": 2, "units": 16,
+                              "nlayers": 1, "activation": "swish",
+                              "use_resblock": False, "omega_0": 30.0},
+        "mixed_policy": "float32",
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    model = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        cfg["cfg_shape_net"], cfg["cfg_parameter_net"], "float32")
+    params = model.init(jax.random.key(0))
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(0, params)
+    ckpt.wait()
+
+    rng = np.random.default_rng(1)
+    mesh = rng.uniform(-1, 1, (64, 1)).astype(np.float32)
+    np.savez(tmp_path / "mesh.npz", x=mesh)
+    t = np.linspace(0, 1, 4, dtype=np.float32)[:, None]
+
+    base = ["--config", str(tmp_path / "config.json"),
+            "--data", str(tmp_path / "mesh.npz"), "--model", "linear",
+            "--ckpt-dir", str(tmp_path / "ckpt")]
+
+    # int8 shared-mesh artifact: quantizes phi(mesh) from --data
+    out8 = str(tmp_path / "art_int8.bin")
+    n = cli_main(["export", *base, "--out", out8,
+                  "--serving-layout", "shared_mesh_int8",
+                  "--group-batch", "4"])
+    assert n > 0 and os.path.getsize(out8) == n
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["layout"] == "shared_mesh_int8"
+    got = np.asarray(load_exported(out8)(t))
+    want = predict_shared_mesh(model, params, t, x=mesh)
+    rel = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-12)
+    assert rel < 2e-2, rel  # int8 quantization tolerance
+
+    # point-wise artifact from the same checkpoint
+    outp = str(tmp_path / "art_pw.bin")
+    cli_main(["export", *base, "--out", outp, "--batch-size", "32"])
+    inp = np.concatenate(
+        [np.repeat(t[:1], 32, 0), mesh[:32]], axis=1).astype(np.float32)
+    got_p = np.asarray(load_exported(outp)(inp))
+    want_p = np.asarray(model.apply(params, jnp.asarray(inp)))
+    np.testing.assert_allclose(got_p, want_p, atol=1e-5)
+
+
+def test_cli_export_int8_needs_mesh(tmp_path):
+    """shared_mesh_int8 export without a mesh source exits with guidance."""
+    import jax
+
+    import nif_tpu
+    from nif_tpu.training import Checkpointer
+
+    cfg = {
+        "cfg_shape_net": {"input_dim": 1, "output_dim": 1, "units": 8,
+                          "nlayers": 1, "activation": "sine",
+                          "use_resblock": False, "omega_0": 30.0,
+                          "connectivity": "last_layer",
+                          "weight_init_factor": 0.1},
+        "cfg_parameter_net": {"input_dim": 1, "latent_dim": 2, "units": 8,
+                              "nlayers": 1, "activation": "swish",
+                              "use_resblock": False, "omega_0": 30.0},
+        "mixed_policy": "float32",
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    model = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        cfg["cfg_shape_net"], cfg["cfg_parameter_net"], "float32")
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(0, model.init(jax.random.key(0)))
+    ckpt.wait()
+    np.savez(tmp_path / "data.npz", data=np.zeros((8, 3), np.float32))
+    with pytest.raises(SystemExit, match="serving mesh|'x'"):
+        cli_main([
+            "export", "--config", str(tmp_path / "config.json"),
+            "--data", str(tmp_path / "data.npz"), "--model", "linear",
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+            "--out", str(tmp_path / "a.bin"),
+            "--serving-layout", "shared_mesh_int8",
+        ])
