@@ -521,24 +521,43 @@ def _cmd_eval(args):
             raise SystemExit(
                 "--sobolev: this grouped dataset has no Jacobian targets"
             )
-        if sobolev:
+        hessian = getattr(args, "hessian", False)
+        if hessian and not ds.meta.get("hessian"):
+            raise SystemExit(
+                "--hessian: this grouped dataset has no second-order "
+                "targets"
+            )
+        sobolev = sobolev or hessian  # hess shards always carry jac too
+        if hessian:
+            # second-order metrics ride the fused forward-over-forward
+            # eval kernel on TPU (shapenet_fwd_hess) — no VJP needed
+            from nif_tpu.ops import output_jacobian_hessian_grouped
+
+            apply_fn = jax.jit(
+                lambda p, t, x: output_jacobian_hessian_grouped(
+                    model, p, t, x)
+            )
+        elif sobolev:
             from nif_tpu.ops import output_and_jacobian_grouped
 
             apply_fn = jax.jit(
-                lambda p, t, x: output_and_jacobian_grouped(model, p, t, x)
+                lambda p, t, x: (*output_and_jacobian_grouped(model, p, t, x),
+                                 None)
             )
         else:
             apply_fn = jax.jit(
-                lambda p, t, x: (model.apply_grouped(p, t, x), None)
+                lambda p, t, x: (model.apply_grouped(p, t, x), None, None)
             )
         se = st = n_el = 0.0
         sj = n_j = 0.0
+        sh = n_h = 0.0
         for batch in ds.iter_batches(
             group_batch=gb, point_batch=None, epochs=1, seed=0,
-            with_jac=sobolev,
+            with_jac=sobolev, with_hess=hessian,
         ):
             _, bt, bx, bu = batch[:4]
             bju = batch[5] if sobolev else None
+            bhu = batch[6] if hessian else None
             b = bt.shape[0]
             if b < gb:
                 pad = gb - b
@@ -548,7 +567,8 @@ def _cmd_eval(args):
                 bx = np.concatenate(
                     [bx, np.broadcast_to(bx[:1], (pad,) + bx.shape[1:])]
                 )
-            pred, jac = apply_fn(params, jnp.asarray(bt), jnp.asarray(bx))
+            pred, jac, hess = apply_fn(
+                params, jnp.asarray(bt), jnp.asarray(bx))
             pred = np.asarray(pred)[:b]
             d = pred.astype(np.float64) - bu.astype(np.float64)
             se += float(np.sum(d * d))
@@ -559,17 +579,24 @@ def _cmd_eval(args):
                       - bju.astype(np.float64))
                 sj += float(np.sum(dj * dj))
                 n_j += bju.size
+            if bhu is not None:
+                dh = (np.asarray(hess)[:b].astype(np.float64)
+                      - bhu.astype(np.float64))
+                sh += float(np.sum(dh * dh))
+                n_h += bhu.size
         mse = se / max(n_el, 1)
         rl2 = float(np.sqrt(se / max(st, 1e-300)))
         if sobolev:
             out = {"mse": mse, "rel_l2": rl2,
                    "jacobian_mse": sj / max(n_j, 1)}
+            if hessian:
+                out["hessian_mse"] = sh / max(n_h, 1)
             print(json.dumps(out))
             return mse
-    elif getattr(args, "sobolev", False):
+    elif getattr(args, "sobolev", False) or getattr(args, "hessian", False):
         raise SystemExit(
-            "--sobolev eval needs a GroupedDataset directory with stored "
-            "Jacobian targets"
+            "--sobolev/--hessian eval needs a GroupedDataset directory "
+            "with stored derivative targets"
         )
     elif streaming:
         # accumulate the error/target sums shard by shard — same metrics,
@@ -712,6 +739,10 @@ def main(argv=None):
     tp.set_defaults(fn=_cmd_train)
 
     ep = sub.add_parser("eval", parents=[common])
+    ep.add_argument("--hessian", action="store_true",
+                    help="also report hessian_mse from the grouped "
+                         "dataset's stored target_hess (rides the fused "
+                         "second-order eval kernel on TPU)")
     ep.add_argument("--sobolev", action="store_true",
                     help="also report jacobian_mse against the grouped "
                          "dataset's stored target_jac")

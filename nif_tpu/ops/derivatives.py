@@ -235,6 +235,49 @@ def output_and_jacobian_grouped(
     return y, _select_jac(jac, y_index, x_index)
 
 
+def _fwd_hess_fusable(model, x, fused) -> bool:
+    """Route (y, jac, hess) through the fused forward-over-forward Pallas
+    kernel? Same gating as :func:`_fwd_jac_fusable` with the second-order
+    support predicate (sine chains, si <= 4)."""
+    import inspect
+
+    from .pallas_shapenet import fwd_hess_supported
+
+    if fused is False:
+        return False
+    needs_params = "params" in inspect.signature(
+        model.x_to_u_given_w
+    ).parameters
+    if needs_params or not hasattr(model, "cfg_shape_net"):
+        return False
+    supported = fwd_hess_supported(
+        model.cfg_shape_net, model.shapenet_variant, x.shape[1], x.shape[2]
+    )
+    if fused is True:
+        return supported
+    from ..models.nif import _on_tpu
+
+    return supported and _on_tpu()
+
+
+def _fwd_hess_linear_fusable(model, x, fused) -> bool:
+    """NIF-linear (y, jac, hess) via its effective generated chain — the
+    bottleneck and latent contraction are both linear, so the second
+    derivative of the effective sine chain IS the model's hessian."""
+    from .pallas_shapenet import fwd_hess_supported
+
+    if fused is False or not hasattr(model, "_fwd_jac_effective_chain"):
+        return False
+    supported = fwd_hess_supported(
+        model._fwd_jac_cfg, "siren", x.shape[1], x.shape[2]
+    )
+    if fused is True:
+        return supported
+    from ..models.nif import _on_tpu
+
+    return supported and _on_tpu()
+
+
 def output_jacobian_hessian_grouped(
     model,
     params,
@@ -242,18 +285,48 @@ def output_jacobian_hessian_grouped(
     x: jnp.ndarray,
     y_index: Index = None,
     x_index: Index = None,
+    fused: Optional[bool] = None,
 ):
     """Grouped (y, dy/dx, d2y/dx2) — the ``HessianLayer`` equivalent with
-    the ParameterNet evaluated once per group."""
-    wb = model.p_to_w(params, t)
+    the ParameterNet evaluated once per group.
 
-    def single(wb_g, row):
-        f = _grouped_point_fn(model, params, wb_g)
-        return f(row), jax.jacfwd(f)(row), jax.jacfwd(jax.jacfwd(f))(row)
+    On TPU the evaluation runs in ONE fused forward-over-forward Pallas
+    pass (``shapenet_fwd_hess``: value + si first-order + si(si+1)/2
+    unique second-order tangent streams riding the same stacked matmuls)
+    when the config supports it — post-training curvature/Laplacian
+    evaluation without nesting two ``jacfwd`` passes over the whole
+    chain. ``fused=False`` forces the XLA path (and keeps the result
+    differentiable w.r.t. params — the kernel is evaluation-only, no
+    VJP); ``fused=True`` forces the kernel (interpret mode on CPU)."""
+    if _fwd_hess_fusable(model, x, fused):
+        from .pallas_shapenet import shapenet_fwd_hess
 
-    y, jac, hess = jax.vmap(
-        jax.vmap(single, in_axes=(None, 0)), in_axes=(0, 0)
-    )(wb, x)
+        wb = model.p_to_w(params, t)
+        # cast like the XLA path's x_to_u_given_w — an f32 x under a bf16
+        # policy would silently run the kernel at f32 (see
+        # output_and_jacobian_grouped)
+        y, jac, hess = shapenet_fwd_hess(
+            wb, model.policy.cast_to_compute(x),
+            model.cfg_shape_net, model.shapenet_variant,
+        )
+    elif _fwd_hess_linear_fusable(model, x, fused):
+        from .pallas_shapenet import shapenet_fwd_hess
+
+        wb_eff, cfg_eff = model._fwd_jac_effective_chain(params, t)
+        y, jac, hess = shapenet_fwd_hess(
+            wb_eff, model.policy.cast_to_compute(x), cfg_eff, "siren"
+        )
+    else:
+        wb = model.p_to_w(params, t)
+
+        def single(wb_g, row):
+            f = _grouped_point_fn(model, params, wb_g)
+            return (f(row), jax.jacfwd(f)(row),
+                    jax.jacfwd(jax.jacfwd(f))(row))
+
+        y, jac, hess = jax.vmap(
+            jax.vmap(single, in_axes=(None, 0)), in_axes=(0, 0)
+        )(wb, x)
     return (y, _select_jac(jac, y_index, x_index),
             _select_hess(hess, y_index, x_index))
 
@@ -293,8 +366,11 @@ def sobolev_loss_grouped(
         return jnp.mean(sq * w)
 
     if target_hess is not None:
+        # fused=False: this loss is differentiated w.r.t. params and the
+        # fused hess-eval kernel has no VJP — hessian-target TRAINING
+        # rides its own single-pass kernel (shapenet_hessian_grads)
         y, jac, hess = output_jacobian_hessian_grouped(
-            model, params, t, x, y_index, x_index
+            model, params, t, x, y_index, x_index, fused=False
         )
         terms = {"hessian_mse": wmean(jnp.square(hess - target_hess), 3)}
     else:

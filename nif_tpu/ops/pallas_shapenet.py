@@ -53,6 +53,9 @@ __all__ = [
     "shapenet_hessian_grads",
     "hessian_fused_supported",
     "hessian_fused_unsupported_reason",
+    "shapenet_fwd_hess",
+    "fwd_hess_supported",
+    "fwd_hess_unsupported_reason",
 ]
 
 
@@ -2173,6 +2176,151 @@ def hessian_fused_unsupported_reason(cfg: ShapeNetConfig, variant: str,
 def hessian_fused_supported(cfg: ShapeNetConfig, variant: str, P: int,
                             si: int) -> bool:
     return hessian_fused_unsupported_reason(cfg, variant, P, si) is None
+
+
+def _pick_tile_hess_eval(P: int, cfg: ShapeNetConfig, si: int,
+                         itemsize: int):
+    """Point tile for the fwd+jac+hess EVAL kernel (no backward): ~3 live
+    stacked ``(1 + si + np)``-stream activations per layer boundary at
+    f32, plus the double-buffered narrow in/out pad charge (x and one
+    ``[TP, so]`` block per value/jac/hess stream, each lane-padded to
+    128 at the compute itemsize)."""
+    pairs = si * (si + 1) // 2
+    nst = 1 + si + pairs
+    pad_extra = 2 * (1 + nst) * 128 * max(itemsize, 2)
+    bytes_per_row = 3 * nst * cfg.units * 4 + pad_extra
+    budget = (_VMEM_BF16_BACKWARD_BUDGET if itemsize <= 2
+              else _VMEM_RESIDUAL_BUDGET)
+    cap = max(min(4096, budget // max(bytes_per_row, 1)), 8)
+    for tp in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if tp <= cap and P % tp == 0:
+            return tp
+    return None
+
+
+def fwd_hess_unsupported_reason(cfg: ShapeNetConfig, variant: str,
+                                P: int, si: int) -> Optional[str]:
+    if variant != "siren":
+        return (f"variant {variant!r}: the fused hessian evaluation runs "
+                f"sine chains only (vanilla f'' stays on the XLA path)")
+    base = fused_unsupported_reason(cfg, variant, P)
+    if base is not None:
+        return base
+    if si > 4:
+        return (f"si={si}: {si * (si + 1) // 2} second-order streams "
+                f"exceed the practical VMEM budget — XLA path")
+    if _pick_tile_hess_eval(P, cfg, si, 2) is None:
+        return (f"P={P} not divisible by any hess-eval tile — pad P to a "
+                f"multiple of 256")
+    return None
+
+
+def fwd_hess_supported(cfg: ShapeNetConfig, variant: str, P: int,
+                       si: int) -> bool:
+    return fwd_hess_unsupported_reason(cfg, variant, P, si) is None
+
+
+def _fwd_hess_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, si: int,
+                     *refs):
+    # outputs: out [TP, so] + si jac column blocks + np unique-pair hess
+    # blocks, all [TP, so] (separate refs — see _fwd_jac_kernel's note on
+    # tpu.concatenate and narrow lane offsets)
+    np_ = si * (si + 1) // 2
+    ws = [refs[i][0] for i in range(n_w)]
+    bs = [refs[n_w + i][0] for i in range(n_w)]
+    x_ref = refs[2 * n_w]
+    out_ref = refs[2 * n_w + 1]
+    jac_refs = refs[2 * n_w + 2: 2 * n_w + 2 + si]
+    hess_refs = refs[2 * n_w + 2 + si: 2 * n_w + 2 + si + np_]
+    out, jac_cols, hess_cols, _ = _hess_fwd_layers(
+        x_ref[0], ws, bs, cfg, variant)
+    out_ref[0] = out.astype(out_ref.dtype)
+    for r, c in zip(jac_refs, jac_cols):
+        r[0] = c.astype(r.dtype)
+    for r, c in zip(hess_refs, hess_cols):
+        r[0] = c.astype(r.dtype)
+
+
+def shapenet_fwd_hess(
+    wb: jnp.ndarray,
+    x: jnp.ndarray,
+    cfg: ShapeNetConfig,
+    variant: str = "siren",
+    interpret: bool = None,
+):
+    """Fused (y, dy/dx, d2y/dx2) evaluation for the grouped ShapeNet
+    chain — the ``HessianLayer`` equivalent (reference semantics:
+    nif/layers/gradient.py:234-261) in ONE pallas_call.
+
+    ``wb [G, po]``, ``x [G, P, si]`` -> ``y [G, P, so]``,
+    ``jac [G, P, so, si]``, ``hess [G, P, so, si, si]`` (exactly
+    symmetric — the kernel carries the ``si*(si+1)/2`` unique
+    second-order tangent streams of :func:`_hess_fwd_layers` and the
+    wrapper mirrors them across the diagonal). Forward-over-forward only:
+    no backward, no loss — post-training curvature/Laplacian evaluation
+    at kernel speed where the XLA path nests two ``jacfwd`` passes over
+    the whole chain. Callers must check :func:`fwd_hess_supported`
+    (sine chains, si <= 4).
+    """
+    G, P, si = x.shape
+    so = cfg.output_dim
+    pairs = _hess_pairs(si)
+    np_ = len(pairs)
+    nst = 1 + si + np_
+    interpret = _resolve_interpret(interpret)
+    parts = unpack_shapenet_weights(wb, cfg)
+    ws, bs = _split_chain(parts)
+    ws = _prescale(ws, cfg, variant)
+    bs = [b[:, None, :] for b in bs]
+    TP = _pick_tile_hess_eval(P, cfg, si, x.dtype.itemsize)
+    n_w = len(ws)
+    grid = (G, P // TP)
+
+    w_specs = [
+        pl.BlockSpec((1,) + w.shape[1:], lambda g, p: (g, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for w in ws
+    ]
+    b_specs = [
+        pl.BlockSpec((1, 1, b.shape[2]), lambda g, p: (g, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for b in bs
+    ]
+    x_spec = pl.BlockSpec((1, TP, si), lambda g, p: (g, p, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, TP, so), lambda g, p: (g, p, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(nst)
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((G, P, so), x.dtype)
+                  for _ in range(nst)]
+    n = cfg.units
+    l_mats = n_w - 2
+    flops = 2 * G * P * nst * (si * n + l_mats * n * n + n * so)
+    kernel = functools.partial(_fwd_hess_kernel, cfg, variant, n_w, si)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[*w_specs, *b_specs, x_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize * (2 + nst * so),
+            transcendentals=3 * G * P * n * (n_w - 1),
+        ),
+        interpret=interpret,
+    )(*ws, *bs, x)
+    y = outs[0]
+    jac = jnp.stack(outs[1:1 + si], axis=3)  # stream k = jac column k
+    col = {pq: outs[1 + si + a] for a, pq in enumerate(pairs)}
+    hess = jnp.stack([
+        jnp.stack([col[(min(j, k), max(j, k))] for k in range(si)],
+                  axis=-1)
+        for j in range(si)
+    ], axis=-2)
+    return y, jac, hess
 
 
 def _hessian_kernel(cfg: ShapeNetConfig, variant: str, n_w: int, si: int,

@@ -753,18 +753,26 @@ class GroupedTrainer:
 
     def evaluate_sobolev(self, state: TrainState, t, x, u, target_jac,
                          sample_weight=None,
-                         group_batch: Optional[int] = None) -> Dict[str, float]:
+                         group_batch: Optional[int] = None,
+                         target_hess=None) -> Dict[str, float]:
         """Global ``{"value_mse", "jacobian_mse", "total"}`` on the full
         grouped dataset — the per-term monitoring the reference surfaces
         as Keras metrics in Sobolev training (nif/layers/gradient.py use
         in tutorial 8). Evaluated in fixed-size group chunks through the
         fused (y, dy/dx) kernel on TPU; ``total`` combines the terms with
-        the trainer's ``w_value``/``w_jac``. Multi-host collective like
-        :meth:`evaluate` (partial sums allgather-reduced)."""
+        the trainer's ``w_value``/``w_jac``. ``target_hess
+        [G, P, so, si, si]`` adds a ``"hessian_mse"`` term (and its
+        ``w_hess`` share of ``total``), evaluated through the fused
+        forward-over-forward kernel (``shapenet_fwd_hess``) on TPU —
+        evaluation needs no VJP, so second-order metrics run at kernel
+        speed even though second-order TRAINING rides its own fused
+        train kernel. Multi-host collective like :meth:`evaluate`
+        (partial sums allgather-reduced)."""
         from .evaluation import global_sums
 
         t, x = np.asarray(t), np.asarray(x)
         u, ju = np.asarray(u), np.asarray(target_jac)
+        hu = None if target_hess is None else np.asarray(target_hess)
         G, P = x.shape[0], x.shape[1]
         # same default chunking as _eval_sums: never a full-dataset pass
         gb = min(group_batch or max(1, 4_000_000 // max(P, 1)), G)
@@ -779,28 +787,50 @@ class GroupedTrainer:
         params = (state.params if use_mesh or self.mesh is None
                   else local_params(state.params))
 
-        chunk = getattr(self, "_sobolev_eval_chunk", None)
+        cache_key = ("_sobolev_eval_chunk" if hu is None
+                     else "_sobolev_eval_chunk_hess")
+        chunk = getattr(self, cache_key, None)
         if chunk is None:
-            from ..ops.derivatives import output_and_jacobian_grouped
+            from ..ops.derivatives import (
+                output_and_jacobian_grouped,
+                output_jacobian_hessian_grouped,
+            )
 
-            @jax.jit
-            def chunk(params, tc, xc, uc, jc, w):
-                y, jac = output_and_jacobian_grouped(
-                    self.model, params, tc, xc)
-                ey = jnp.square(y.astype(jnp.float32)
-                                - uc.astype(jnp.float32))
-                ej = jnp.square(jac.astype(jnp.float32)
-                                - jc.astype(jnp.float32))
-                w32 = w.astype(jnp.float32)
-                return (jnp.sum(ey * w32[..., None]),
-                        jnp.sum(ej * w32[..., None, None]))
+            if hu is None:
+                @jax.jit
+                def chunk(params, tc, xc, uc, jc, w):
+                    y, jac = output_and_jacobian_grouped(
+                        self.model, params, tc, xc)
+                    ey = jnp.square(y.astype(jnp.float32)
+                                    - uc.astype(jnp.float32))
+                    ej = jnp.square(jac.astype(jnp.float32)
+                                    - jc.astype(jnp.float32))
+                    w32 = w.astype(jnp.float32)
+                    return (jnp.sum(ey * w32[..., None]),
+                            jnp.sum(ej * w32[..., None, None]))
+            else:
+                @jax.jit
+                def chunk(params, tc, xc, uc, jc, hc, w):
+                    y, jac, hess = output_jacobian_hessian_grouped(
+                        self.model, params, tc, xc)
+                    ey = jnp.square(y.astype(jnp.float32)
+                                    - uc.astype(jnp.float32))
+                    ej = jnp.square(jac.astype(jnp.float32)
+                                    - jc.astype(jnp.float32))
+                    eh = jnp.square(hess.astype(jnp.float32)
+                                    - hc.astype(jnp.float32))
+                    w32 = w.astype(jnp.float32)
+                    return (jnp.sum(ey * w32[..., None]),
+                            jnp.sum(ej * w32[..., None, None]),
+                            jnp.sum(eh * w32[..., None, None, None]))
 
-            self._sobolev_eval_chunk = chunk
+            setattr(self, cache_key, chunk)
 
-        se_y = se_j = 0.0
+        se_y = se_j = se_h = 0.0
         for s in range(0, G, gb):
             sl = slice(s, min(s + gb, G))
             bt, bx, bu, bj = t[sl], x[sl], u[sl], ju[sl]
+            bh = None if hu is None else hu[sl]
             b = bt.shape[0]
             w = (np.ones((b, P), np.float32) if sample_weight is None
                  else np.asarray(sample_weight[sl], np.float32))
@@ -809,16 +839,28 @@ class GroupedTrainer:
                 rep = lambda a: np.concatenate(
                     [a, np.broadcast_to(a[:1], (pad,) + a.shape[1:])])
                 bt, bx, bu, bj = rep(bt), rep(bx), rep(bu), rep(bj)
+                bh = None if bh is None else rep(bh)
                 w = np.concatenate([w, np.zeros((pad, P), np.float32)])
+            batch = ((bt, bx, bu, bj, w) if bh is None
+                     else (bt, bx, bu, bj, bh, w))
             if use_mesh:
-                bt, bx, bu, bj, w = self._put(bt, bx, bu, bj, w)
-            cy, cj = chunk(params, bt, bx, bu, bj, w)
-            se_y += float(cy)
-            se_j += float(cj)
+                batch = self._put(*batch)
+            sums = chunk(params, *batch)
+            se_y += float(sums[0])
+            se_j += float(sums[1])
+            if hu is not None:
+                se_h += float(sums[2])
         n_y = float(G * P * u.shape[-1])
         n_j = float(G * P * ju.shape[-2] * ju.shape[-1])
         se_y, se_j, n_y, n_j = global_sums(se_y, se_j, n_y, n_j)
         value_mse = se_y / max(n_y, 1.0)
         jac_mse = se_j / max(n_j, 1.0)
-        return {"value_mse": value_mse, "jacobian_mse": jac_mse,
-                "total": self.w_value * value_mse + self.w_jac * jac_mse}
+        out = {"value_mse": value_mse, "jacobian_mse": jac_mse,
+               "total": self.w_value * value_mse + self.w_jac * jac_mse}
+        if hu is not None:
+            n_h = float(G * P * hu.shape[-3] * hu.shape[-2] * hu.shape[-1])
+            se_h, n_h = global_sums(se_h, n_h)
+            hess_mse = se_h / max(n_h, 1.0)
+            out["hessian_mse"] = hess_mse
+            out["total"] += self.w_hess * hess_mse
+        return out

@@ -353,13 +353,14 @@ def test_cli_grouped_hessian_train(grouped_workdir):
     snap_dir = str(wd / "snaps_hess")
     GroupedDataset.create_from_arrays(t, x, u, snap_dir, groups_per_file=3,
                                       target_jac=ju, target_hess=hu)
+    ckpt = str(wd / "ckpt_hess")
     loss = cli_main([
         "train", "--config", str(wd / "config.json"),
         "--data", snap_dir, "--model", "multiscale",
         "--epochs", "3", "--lr", "2e-3",
         "--group-batch", "3", "--point-batch", "32",
         "--sobolev", "--w-jac", "0.1", "--hessian", "--w-hess", "0.01",
-        "--lbfgs", "3",
+        "--lbfgs", "3", "--ckpt-dir", ckpt,
     ])
     assert np.isfinite(loss)
 
@@ -369,6 +370,61 @@ def test_cli_grouped_hessian_train(grouped_workdir):
             "train", "--config", str(wd / "config.json"),
             "--data", str(wd / "snaps"), "--model", "multiscale",
             "--epochs", "1", "--group-batch", "4", "--hessian",
+        ])
+
+
+def test_cli_eval_hessian_metrics(grouped_workdir, capsys):
+    """eval --hessian (round 5): per-term metrics including hessian_mse
+    from the stored second-order targets, matching a direct
+    output_jacobian_hessian_grouped computation; --hessian without a
+    grouped dataset refuses loudly."""
+    import jax
+
+    import nif_tpu
+    from nif_tpu.data import GroupedDataset
+    from nif_tpu.ops import output_jacobian_hessian_grouped
+    from nif_tpu.training import Checkpointer
+
+    wd = grouped_workdir
+    rng = np.random.default_rng(3)
+    G, P = 6, 64
+    t = np.linspace(0, 1, G, dtype=np.float32)[:, None]
+    x = rng.uniform(-1, 1, (G, P, 1)).astype(np.float32)
+    phase = 2 * np.pi * (x[..., 0] - t)
+    u = np.sin(phase).astype(np.float32)[..., None]
+    ju = (2 * np.pi * np.cos(phase)).astype(np.float32)[..., None, None]
+    hu = (-(2 * np.pi) ** 2 * np.sin(phase)).astype(
+        np.float32)[..., None, None, None]
+    snap_dir = str(wd / "snaps_hess_eval")
+    GroupedDataset.create_from_arrays(t, x, u, snap_dir, groups_per_file=3,
+                                      target_jac=ju, target_hess=hu)
+
+    cfg = json.loads((wd / "config.json").read_text())
+    model = nif_tpu.NIFMultiScale(
+        cfg["cfg_shape_net"], cfg["cfg_parameter_net"], "float32")
+    params = model.init(jax.random.key(0))
+    ckpt = Checkpointer(str(wd / "ckpt_he"))
+    ckpt.save(0, params)
+    ckpt.wait()
+
+    cli_main([
+        "eval", "--config", str(wd / "config.json"),
+        "--data", snap_dir, "--model", "multiscale",
+        "--ckpt-dir", str(wd / "ckpt_he"), "--hessian",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) >= {"mse", "rel_l2", "jacobian_mse", "hessian_mse"}
+    _, _, hess = output_jacobian_hessian_grouped(model, params, t, x)
+    want = float(np.mean((np.asarray(hess) - hu) ** 2))
+    assert out["hessian_mse"] == pytest.approx(want, rel=1e-4)
+
+    # --hessian without a grouped dataset directory refuses loudly
+    np.savez(wd / "flat.npz", data=np.zeros((8, 3), np.float32))
+    with pytest.raises(SystemExit, match="GroupedDataset"):
+        cli_main([
+            "eval", "--config", str(wd / "config.json"),
+            "--data", str(wd / "flat.npz"), "--model", "multiscale",
+            "--ckpt-dir", str(wd / "ckpt_he"), "--hessian",
         ])
 
 

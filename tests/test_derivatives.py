@@ -759,3 +759,86 @@ def test_hessian_target_training_improves_curvature():
     assert np.isfinite(h1) and np.isfinite(v1)
     assert h1 < h0 / 5, f"hessian MSE {h0} -> {h1}"
     assert v1 < v0, f"value MSE {v0} -> {v1}"
+
+
+def test_fused_hess_eval_parity():
+    """The fused second-order EVALUATION kernel (round 5): (y, jac, hess)
+    in one forward-over-forward pallas_call must match the XLA
+    nested-jacfwd path of output_jacobian_hessian_grouped — plain and
+    resblock sine chains, index subsetting, and NIF-linear's effective
+    generated chain. f32 interpret mode on CPU (exact trig), so
+    tolerances are tight; the returned hessian must be exactly
+    symmetric (unique pairs mirrored across the diagonal)."""
+    import nif_tpu
+    from nif_tpu.ops import output_jacobian_hessian_grouped
+
+    rng = np.random.default_rng(33)
+    G, P = 2, 256
+
+    def check(name, model, si, y_index=None, x_index=None):
+        params = model.init(jax.random.key(3))
+        pi = model.cfg_parameter_net.input_dim
+        t = jnp.asarray(rng.standard_normal((G, pi)), jnp.float32)
+        x = jnp.asarray(rng.uniform(-1, 1, (G, P, si)), jnp.float32)
+        y0, j0, h0 = output_jacobian_hessian_grouped(
+            model, params, t, x, y_index, x_index, fused=False)
+        y1, j1, h1 = output_jacobian_hessian_grouped(
+            model, params, t, x, y_index, x_index, fused=True)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=5e-5, err_msg=name)
+        jscale = float(jnp.max(jnp.abs(j0))) + 1e-8
+        np.testing.assert_allclose(np.asarray(j1) / jscale,
+                                   np.asarray(j0) / jscale, atol=5e-5,
+                                   err_msg=name)
+        hscale = float(jnp.max(jnp.abs(h0))) + 1e-8
+        np.testing.assert_allclose(np.asarray(h1) / hscale,
+                                   np.asarray(h0) / hscale, atol=5e-5,
+                                   err_msg=name)
+        if x_index is None:
+            np.testing.assert_array_equal(
+                np.asarray(h1), np.asarray(h1).swapaxes(-1, -2),
+                err_msg=f"{name}: hessian not exactly symmetric")
+
+    siren = nif_tpu.NIFMultiScale(
+        {"input_dim": 3, "output_dim": 2, "units": 16, "nlayers": 2,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 2, "latent_dim": 4, "units": 16, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    check("siren", siren, 3)
+    check("siren subset", siren, 3, y_index=1, x_index=[0, 2])
+
+    resb = nif_tpu.NIFMultiScale(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 2,
+         "activation": "sine", "use_resblock": True, "omega_0": 30.0,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 4, "units": 16, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    check("resblock", resb, 2)
+
+    lin = nif_tpu.NIFMultiScaleLastLayerParameterized(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
+         "activation": "sine", "use_resblock": False, "omega_0": 30.0,
+         "connectivity": "last_layer", "weight_init_factor": 1.0},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "swish", "use_resblock": False, "omega_0": 30.0},
+    )
+    check("nif-linear", lin, 2)
+
+    # vanilla chains have no second-order kernel: fused=None/True both
+    # fall back to the XLA path (the predicate gates, never crashes)
+    van = nif_tpu.NIF(
+        {"input_dim": 2, "output_dim": 1, "units": 16, "nlayers": 1,
+         "activation": "tanh", "use_resblock": False,
+         "connectivity": "full", "weight_init_factor": 0.1},
+        {"input_dim": 1, "latent_dim": 2, "units": 8, "nlayers": 1,
+         "activation": "swish", "use_resblock": False},
+    )
+    vparams = van.init(jax.random.key(4))
+    vt = jnp.asarray(rng.standard_normal((G, 1)), jnp.float32)
+    vx = jnp.asarray(rng.uniform(-1, 1, (G, P, 2)), jnp.float32)
+    vy, vj, vh = output_jacobian_hessian_grouped(
+        van, vparams, vt, vx, fused=True)
+    assert vh.shape == (G, P, 1, 2, 2)

@@ -1079,6 +1079,39 @@ def test_evaluate_sobolev_matches_loss_terms():
         m["value_mse"] + 0.3 * m["jacobian_mse"], rel=1e-6)
 
 
+def test_evaluate_sobolev_with_hessian_targets():
+    """evaluate_sobolev(target_hess=...) (round 5): the second-order
+    metric equals the training loss's hessian term, rides its own cached
+    chunk fn, and folds w_hess into total. si=1 so the hess target is
+    trivially symmetric."""
+    model = _sobolev_model()
+    t, x, u, ju = _sobolev_data()
+    rng = np.random.default_rng(7)
+    hu = rng.standard_normal(ju.shape + (1,)).astype(np.float32)
+    trainer = GroupedTrainer(model, optax.adam(1e-3), w_value=1.0,
+                             w_jac=0.3, w_hess=0.05)
+    state = trainer.init(jax.random.key(0))
+    _total, terms, _g = model.sobolev_value_and_grad(
+        state.params, t, x, u, target_jac=ju, target_hess=hu,
+        w_value=1.0, w_jac=0.3, w_hess=0.05, use_reg=False)
+    m = trainer.evaluate_sobolev(state, t, x, u, ju, group_batch=2,
+                                 target_hess=hu)
+    assert m["value_mse"] == pytest.approx(float(terms["value_mse"]),
+                                           rel=1e-5)
+    assert m["jacobian_mse"] == pytest.approx(float(terms["jacobian_mse"]),
+                                              rel=1e-5)
+    assert m["hessian_mse"] == pytest.approx(float(terms["hessian_mse"]),
+                                             rel=1e-5)
+    assert m["total"] == pytest.approx(
+        m["value_mse"] + 0.3 * m["jacobian_mse"] + 0.05 * m["hessian_mse"],
+        rel=1e-6)
+    # first-order path still uses its own cached chunk (no cross-pollution)
+    m1 = trainer.evaluate_sobolev(state, t, x, u, ju, group_batch=2)
+    assert "hessian_mse" not in m1
+    assert hasattr(trainer, "_sobolev_eval_chunk")
+    assert hasattr(trainer, "_sobolev_eval_chunk_hess")
+
+
 def test_step_accepts_list_inputs_and_resident_cache_keys_on_dataset_size():
     """Review fixes: step coerces non-array batches; fit_resident's chunk
     cache keys on (G, P) so a second different-sized dataset gets its own
