@@ -463,9 +463,14 @@ class GroupedTrainer:
 
         chunk_sums = getattr(self, "_eval_chunk_sums", None)
         if chunk_sums is None:
+            # see evaluate_sobolev: pallas_call is not GSPMD-partitionable,
+            # so >1-device mesh'd eval chunks pin the XLA forward path
+            fused = (None if (self.mesh is None or not use_mesh
+                              or self.mesh.size == 1) else False)
+
             @jax.jit
             def chunk_sums(params, tc, xc, uc, w, m):
-                pred = self.model.apply_grouped(params, tc, xc)
+                pred = self.model.apply_grouped(params, tc, xc, fused=fused)
                 uc = uc.astype(pred.dtype)
                 err = jnp.square(pred - uc) * w[..., None].astype(pred.dtype)
                 sse = jnp.sum(err.astype(jnp.float32))
@@ -796,11 +801,19 @@ class GroupedTrainer:
                 output_jacobian_hessian_grouped,
             )
 
+            # GSPMD cannot partition a pallas_call: on a >1-device mesh
+            # the eval chunk pins the XLA derivative path (the fused
+            # kernels' mesh story is shard_map, used by step/fit_resident);
+            # single-chip (or host-local multi-controller) keeps the
+            # kernel auto-routing.
+            fused = (None if (self.mesh is None or not use_mesh
+                              or self.mesh.size == 1) else False)
+
             if hu is None:
                 @jax.jit
                 def chunk(params, tc, xc, uc, jc, w):
                     y, jac = output_and_jacobian_grouped(
-                        self.model, params, tc, xc)
+                        self.model, params, tc, xc, fused=fused)
                     ey = jnp.square(y.astype(jnp.float32)
                                     - uc.astype(jnp.float32))
                     ej = jnp.square(jac.astype(jnp.float32)
@@ -812,7 +825,7 @@ class GroupedTrainer:
                 @jax.jit
                 def chunk(params, tc, xc, uc, jc, hc, w):
                     y, jac, hess = output_jacobian_hessian_grouped(
-                        self.model, params, tc, xc)
+                        self.model, params, tc, xc, fused=fused)
                     ey = jnp.square(y.astype(jnp.float32)
                                     - uc.astype(jnp.float32))
                     ej = jnp.square(jac.astype(jnp.float32)

@@ -271,3 +271,44 @@ def test_tensor_parallel_checkpoint_restore(tmp_path):
     restored = tr2.fit(restored, t, x, u, epochs=2, group_batch=8,
                        point_batch=64)
     assert np.isfinite(tr2.history["loss"][-1])
+
+
+def test_meshed_evaluate_sobolev_with_hessian_matches_unmeshed():
+    """evaluate_sobolev (incl. second-order targets, round 5) on a mesh'd
+    GroupedTrainer: batches stage through _put with the extra hess
+    operand, tails zero-weight pad, and the metrics match the mesh-less
+    trainer exactly. On a >1-device mesh the eval chunks pin the XLA
+    derivative path (GSPMD cannot partition a pallas_call — the kernels'
+    mesh story is shard_map in step/fit_resident)."""
+    import optax
+
+    from nif_tpu.training import GroupedTrainer
+
+    model = _tp_model()
+    rng = np.random.default_rng(5)
+    G, Pts = 7, 32  # odd G: pads against both group_batch and mesh axes
+    t = rng.standard_normal((G, 1)).astype(np.float32)
+    x = rng.uniform(-1, 1, (G, Pts, 2)).astype(np.float32)
+    u = rng.standard_normal((G, Pts, 1)).astype(np.float32)
+    ju = rng.standard_normal((G, Pts, 1, 2)).astype(np.float32)
+    hu0 = rng.standard_normal((G, Pts, 1, 2, 2)).astype(np.float32)
+    hu = 0.5 * (hu0 + hu0.transpose(0, 1, 2, 4, 3))
+
+    kw = dict(w_value=1.0, w_jac=0.3, w_hess=0.05)
+    tr_mesh = GroupedTrainer(model, optax.adam(1e-3), mesh=make_mesh(),
+                             **kw)
+    tr_none = GroupedTrainer(model, optax.adam(1e-3), **kw)
+    state = tr_none.init(jax.random.key(0))
+
+    m0 = tr_none.evaluate_sobolev(state, t, x, u, ju, group_batch=3,
+                                  target_hess=hu)
+    m1 = tr_mesh.evaluate_sobolev(state, t, x, u, ju, group_batch=3,
+                                  target_hess=hu)
+    assert set(m0) == {"value_mse", "jacobian_mse", "hessian_mse", "total"}
+    for k in m0:
+        np.testing.assert_allclose(m1[k], m0[k], rtol=1e-5, err_msg=k)
+    # first-order form too (separate cached chunk, same staging)
+    f0 = tr_none.evaluate_sobolev(state, t, x, u, ju, group_batch=3)
+    f1 = tr_mesh.evaluate_sobolev(state, t, x, u, ju, group_batch=3)
+    for k in f0:
+        np.testing.assert_allclose(f1[k], f0[k], rtol=1e-5, err_msg=k)
