@@ -40,6 +40,22 @@ def main(epochs=500, seed=0):
     # second derivatives
     y, jac, hess = output_jacobian_hessian(fn, jnp.asarray(inputs[:10]))
     print(f"hessian {hess.shape} (d2u/dx2[0] = {float(hess[0, 0, 1, 1]):.4f})")
+
+    # at scale, use the GROUPED second-order evaluator: the hypernet runs
+    # once per snapshot and, for sine chains on TPU, (y, jac, hess) comes
+    # out of ONE fused forward-over-forward kernel (shapenet_fwd_hess,
+    # 4.0x the nested-jacfwd XLA path at the flagship shape) — e.g. the
+    # field's Laplacian over a full snapshot:
+    from nif_tpu.ops import output_jacobian_hessian_grouped
+
+    t_g = np.unique(inputs[:, :1], axis=0)  # [G, 1] snapshot times
+    x_g = np.broadcast_to(np.unique(inputs[:, 1:], axis=0),
+                          (len(t_g), tw.n_x_grid, 1))  # [G, P, 1]
+    yg, jg, hg = output_jacobian_hessian_grouped(
+        model, state.params, jnp.asarray(t_g), jnp.asarray(x_g))
+    lap = hg[..., 0, 0, 0]  # d2u/dx2 per point, [G, P]
+    print(f"grouped hessian {hg.shape}, mean |d2u/dx2| = "
+          f"{float(jnp.mean(jnp.abs(lap))):.3f}")
     return float(jnp.mean(jnp.abs(dudx)))
 
 
