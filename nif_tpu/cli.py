@@ -527,7 +527,10 @@ def _cmd_eval(args):
                 "--hessian: this grouped dataset has no second-order "
                 "targets"
             )
-        sobolev = sobolev or hessian  # hess shards always carry jac too
+        # --hessian also reports jacobian_mse when the dataset carries
+        # first-order targets (hess-only datasets are legal: iter_batches
+        # then yields ju=None)
+        sobolev = sobolev or (hessian and bool(ds.meta.get("sobolev")))
         if hessian:
             # second-order metrics ride the fused forward-over-forward
             # eval kernel on TPU (shapenet_fwd_hess) — no VJP needed
@@ -586,9 +589,10 @@ def _cmd_eval(args):
                 n_h += bhu.size
         mse = se / max(n_el, 1)
         rl2 = float(np.sqrt(se / max(st, 1e-300)))
-        if sobolev:
-            out = {"mse": mse, "rel_l2": rl2,
-                   "jacobian_mse": sj / max(n_j, 1)}
+        if sobolev or hessian:
+            out = {"mse": mse, "rel_l2": rl2}
+            if sobolev:
+                out["jacobian_mse"] = sj / max(n_j, 1)
             if hessian:
                 out["hessian_mse"] = sh / max(n_h, 1)
             print(json.dumps(out))
@@ -645,18 +649,28 @@ def _serving_mesh(args, cfg):
         from nif_tpu.data import GroupedDataset
 
         ds = GroupedDataset(args.data)
-        x = np.load(ds.files[0])["x"][0]
+        with np.load(ds.files[0]) as z:
+            x = np.asarray(z["x"][0])
     else:
-        blob = np.load(args.data)
-        if "x" in blob:
-            x = blob["x"]
-        else:
-            raise SystemExit(
-                "--serving-layout shared_mesh_int8: pass the serving mesh "
-                "as an .npz with an 'x' [P, si] array or a GroupedDataset "
-                "directory (the decode quantizes phi(x) for ONE fixed mesh)"
-            )
-    x = np.asarray(x, np.float32).reshape(-1, si)
+        with np.load(args.data) as blob:
+            if "x" not in blob:
+                raise SystemExit(
+                    "--serving-layout shared_mesh_int8: pass the serving "
+                    "mesh as an .npz with an 'x' [P, si] array or a "
+                    "GroupedDataset directory (the decode quantizes phi(x) "
+                    "for ONE fixed mesh)"
+                )
+            x = np.asarray(blob["x"])
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1 and si == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[1] != si:
+        # a silent reshape(-1, si) would reinterpret a wrong-width mesh
+        # as garbage points and bake it into the artifact
+        raise SystemExit(
+            f"--serving-layout shared_mesh_int8: serving mesh shape "
+            f"{x.shape} does not match [P, si={si}] from the config"
+        )
     return x
 
 
@@ -676,6 +690,12 @@ def _cmd_export(args):
     if args.serving_layout == "shared_mesh_int8":
         from nif_tpu.compression import quantize_shared_mesh
 
+        if not hasattr(model, "x_to_phi"):
+            raise SystemExit(
+                "--serving-layout shared_mesh_int8 quantizes phi(mesh) and "
+                "needs the NIF-linear model (--model linear); "
+                f"--model {args.model!r} has no shared-mesh decode"
+            )
         mesh_x = _serving_mesh(args, cfg)
         int8_pack = quantize_shared_mesh(model, params, mesh_x)
     blob = export_apply(

@@ -126,15 +126,14 @@ def _grouped_point_fn(model, params, wb_g):
     return lambda r: model.x_to_u_given_w(r[None], wb_g[None])[0]
 
 
-def _fwd_jac_fusable(model, x, fused) -> bool:
-    """Route (y, dy/dx) through the fused forward+JVP Pallas kernel?
-
-    Applies to the plain generated-chain models (NIF/NIFMultiScale with
-    'full' connectivity — NIF-linear's trunk carries trainable params the
-    kernel does not take) on TPU when the config/tile is supported."""
+def _fusable(model, x, fused, supported_fn) -> bool:
+    """Shared tri-state gating for the fused derivative-eval kernels:
+    ``fused=False`` never routes; explicit ``True`` routes iff the
+    config/tile passes ``supported_fn`` (interpret mode on CPU); ``None``
+    (auto) additionally requires TPU. Applies to the plain generated-chain
+    models (NIF/NIFMultiScale with 'full' connectivity — NIF-linear's
+    trunk carries trainable params the kernels do not take)."""
     import inspect
-
-    from .pallas_shapenet import fwd_jac_supported
 
     if fused is False:
         return False
@@ -143,7 +142,7 @@ def _fwd_jac_fusable(model, x, fused) -> bool:
     ).parameters
     if needs_params or not hasattr(model, "cfg_shape_net"):
         return False
-    supported = fwd_jac_supported(
+    supported = supported_fn(
         model.cfg_shape_net, model.shapenet_variant, x.shape[1], x.shape[2]
     )
     if fused is True:
@@ -153,15 +152,13 @@ def _fwd_jac_fusable(model, x, fused) -> bool:
     return supported and _on_tpu()
 
 
-def _fwd_jac_linear_fusable(model, x, fused) -> bool:
-    """Route NIF-linear (y, dy/dx) through the fused kernel via its
+def _linear_fusable(model, x, fused, supported_fn) -> bool:
+    """NIF-linear form of :func:`_fusable`: routes through the model's
     effective generated chain (bottleneck + latent contraction are both
     linear — see NIFMultiScaleLastLayerParameterized._fwd_jac_effective_chain)."""
-    from .pallas_shapenet import fwd_jac_supported
-
     if fused is False or not hasattr(model, "_fwd_jac_effective_chain"):
         return False
-    supported = fwd_jac_supported(
+    supported = supported_fn(
         model._fwd_jac_cfg, "siren", x.shape[1], x.shape[2]
     )
     if fused is True:
@@ -169,6 +166,19 @@ def _fwd_jac_linear_fusable(model, x, fused) -> bool:
     from ..models.nif import _on_tpu
 
     return supported and _on_tpu()
+
+
+def _fwd_jac_fusable(model, x, fused) -> bool:
+    """Route (y, dy/dx) through the fused forward+JVP Pallas kernel?"""
+    from .pallas_shapenet import fwd_jac_supported
+
+    return _fusable(model, x, fused, fwd_jac_supported)
+
+
+def _fwd_jac_linear_fusable(model, x, fused) -> bool:
+    from .pallas_shapenet import fwd_jac_supported
+
+    return _linear_fusable(model, x, fused, fwd_jac_supported)
 
 
 def output_and_jacobian_grouped(
@@ -237,27 +247,10 @@ def output_and_jacobian_grouped(
 
 def _fwd_hess_fusable(model, x, fused) -> bool:
     """Route (y, jac, hess) through the fused forward-over-forward Pallas
-    kernel? Same gating as :func:`_fwd_jac_fusable` with the second-order
-    support predicate (sine chains, si <= 4)."""
-    import inspect
-
+    kernel (sine chains, si <= 4)?"""
     from .pallas_shapenet import fwd_hess_supported
 
-    if fused is False:
-        return False
-    needs_params = "params" in inspect.signature(
-        model.x_to_u_given_w
-    ).parameters
-    if needs_params or not hasattr(model, "cfg_shape_net"):
-        return False
-    supported = fwd_hess_supported(
-        model.cfg_shape_net, model.shapenet_variant, x.shape[1], x.shape[2]
-    )
-    if fused is True:
-        return supported
-    from ..models.nif import _on_tpu
-
-    return supported and _on_tpu()
+    return _fusable(model, x, fused, fwd_hess_supported)
 
 
 def _fwd_hess_linear_fusable(model, x, fused) -> bool:
@@ -266,16 +259,7 @@ def _fwd_hess_linear_fusable(model, x, fused) -> bool:
     derivative of the effective sine chain IS the model's hessian."""
     from .pallas_shapenet import fwd_hess_supported
 
-    if fused is False or not hasattr(model, "_fwd_jac_effective_chain"):
-        return False
-    supported = fwd_hess_supported(
-        model._fwd_jac_cfg, "siren", x.shape[1], x.shape[2]
-    )
-    if fused is True:
-        return supported
-    from ..models.nif import _on_tpu
-
-    return supported and _on_tpu()
+    return _linear_fusable(model, x, fused, fwd_hess_supported)
 
 
 def output_jacobian_hessian_grouped(

@@ -427,6 +427,22 @@ def test_cli_eval_hessian_metrics(grouped_workdir, capsys):
             "--ckpt-dir", str(wd / "ckpt_he"), "--hessian",
         ])
 
+    # hess-ONLY datasets (no Jacobian targets) are legal: eval --hessian
+    # reports hessian_mse without a jacobian_mse key instead of crashing
+    # on the with_jac stream
+    snap_ho = str(wd / "snaps_hess_only")
+    GroupedDataset.create_from_arrays(t, x, u, snap_ho, groups_per_file=3,
+                                      target_hess=hu)
+    cli_main([
+        "eval", "--config", str(wd / "config.json"),
+        "--data", snap_ho, "--model", "multiscale",
+        "--ckpt-dir", str(wd / "ckpt_he"), "--hessian",
+    ])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "jacobian_mse" not in out2
+    assert out2["hessian_mse"] == pytest.approx(out["hessian_mse"],
+                                                rel=1e-6)
+
 
 def test_cli_grouped_residual_sampling(grouped_workdir):
     """--point-sampling residual: the streamed route scores each shard
@@ -566,5 +582,39 @@ def test_cli_export_int8_needs_mesh(tmp_path):
             "--data", str(tmp_path / "data.npz"), "--model", "linear",
             "--ckpt-dir", str(tmp_path / "ckpt"),
             "--out", str(tmp_path / "a.bin"),
+            "--serving-layout", "shared_mesh_int8",
+        ])
+
+    # a wrong-width mesh must refuse, not silently reshape into garbage
+    np.savez(tmp_path / "wide.npz", x=np.zeros((8, 2), np.float32))
+    with pytest.raises(SystemExit, match="does not match"):
+        cli_main([
+            "export", "--config", str(tmp_path / "config.json"),
+            "--data", str(tmp_path / "wide.npz"), "--model", "linear",
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+            "--out", str(tmp_path / "a.bin"),
+            "--serving-layout", "shared_mesh_int8",
+        ])
+
+    # int8 shared-mesh decode exists only on the NIF-linear model
+    cfg2 = dict(cfg)
+    cfg2["cfg_shape_net"] = dict(cfg["cfg_shape_net"],
+                                 connectivity="full")
+    (tmp_path / "config_ms.json").write_text(json.dumps(cfg2))
+    import nif_tpu as _nt
+
+    ms = _nt.NIFMultiScale(cfg2["cfg_shape_net"],
+                           cfg2["cfg_parameter_net"], "float32")
+    ckpt2 = Checkpointer(str(tmp_path / "ckpt_ms"))
+    ckpt2.save(0, ms.init(jax.random.key(0)))
+    ckpt2.wait()
+    np.savez(tmp_path / "mesh1.npz", x=np.zeros((8, 1), np.float32))
+    with pytest.raises(SystemExit, match="NIF-linear"):
+        cli_main([
+            "export", "--config", str(tmp_path / "config_ms.json"),
+            "--data", str(tmp_path / "mesh1.npz"),
+            "--model", "multiscale",
+            "--ckpt-dir", str(tmp_path / "ckpt_ms"),
+            "--out", str(tmp_path / "b.bin"),
             "--serving-layout", "shared_mesh_int8",
         ])
