@@ -198,6 +198,10 @@ def main_hessian(epochs=1000, w_jac=0.1, w_hess=1e-3, seed=0, n_xg=256):
                                  verbose_every=max(epochs // 10, 1))
     print(f"path={trainer.history['sobolev_path']}  "
           f"final loss {trainer.history['loss'][-1]:.3e}")
+    # per-term metrics incl. the second-order one — evaluation rides the
+    # fused forward-over-forward kernel (shapenet_fwd_hess) on TPU
+    m = trainer.evaluate_sobolev(state, t, x, u, tj, target_hess=th)
+    print("  " + "  ".join(f"{k}={v:.3e}" for k, v in sorted(m.items())))
     return trainer.history["loss"][-1]
 
 
