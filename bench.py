@@ -8,8 +8,8 @@ rather than argued), the NIF-linear fused-train metric
 (``niflinear_train_points_per_sec_per_chip`` + its speedup over the plain
 XLA path on the same chip), serving/ROM-decode throughput (including the
 EXPORTED grouped artifact and the int8-executing decode), and the
-derivative paths (``jacobian_eval_...``, ``sobolev_train_...``,
-``hessian_train_...``).
+derivative paths (``jacobian_eval_...``, ``hess_eval_...``,
+``sobolev_train_...``, ``hessian_train_...``).
 
 ``value``       — points/sec/chip for a full training step (forward +
                   backward + adam) in the grouped TPU-first layout with the
@@ -457,6 +457,26 @@ def main():
     dt_jac = float(np.median(steady_state_times(
         jac_step, (params, jnp.zeros(())), n1=15, n2=75, repeats=2)))
 
+    # Fused second-order EVALUATION (round 5): (y, jac, hess) in one
+    # forward-only pass — the HessianLayer-equivalent query path. The XLA
+    # nested-jacfwd ratio (4.0x) is documented in PARITY.md; only the fused
+    # number is re-measured here (same compile-budget rule as jac_step).
+    from nif_tpu.ops.derivatives import output_jacobian_hessian_grouped
+
+    def hess_eval_step(state):
+        p, acc = state
+        y, hj, hh = output_jacobian_hessian_grouped(
+            model, p, t + acc * 1e-9, x + acc * 1e-9
+        )
+        acc = (jnp.mean(y.astype(jnp.float32))
+               + jnp.mean(hj.astype(jnp.float32))
+               + jnp.mean(hh.astype(jnp.float32)))
+        return (p, acc), acc
+
+    # ~10.7 ms/eval: 30 differenced steps = 320+ ms of signal per repeat
+    dt_hess_eval = float(np.median(steady_state_times(
+        hess_eval_step, (params, jnp.zeros(())), n1=10, n2=40, repeats=2)))
+
     jt = jnp.asarray(rng.standard_normal((G, P, 1, 3)), jnp.float32)
 
     def sob_step(state):
@@ -549,6 +569,7 @@ def main():
             G_rom * P_rom / dt_served8, 1),
         "int8_serving_vs_raw": round(dt_rom8 / dt_served8, 3),
         "jacobian_eval_points_per_sec_per_chip": round(G * P / dt_jac, 1),
+        "hess_eval_points_per_sec_per_chip": round(G * P / dt_hess_eval, 1),
         "sobolev_train_points_per_sec_per_chip": round(G * P / dt_sob, 1),
         "hessian_train_points_per_sec_per_chip": round(G * P / dt_hess, 1),
         "hessian_train_xla_points_per_sec_per_chip": round(
